@@ -1,0 +1,254 @@
+"""Command-line entry point — flag/dispatch parity with reference ``main.py``.
+
+The reference parses 16 flags (``main.py:22-40``), builds the method name
+``f"{args.model}_{args.n}_{args.phase}"`` and ``getattr``s it off a
+``DataGenerator`` (``main.py:15-17``) — the de-facto experiment registry —
+then selects a trainer by ``(model=='pcrlv2', phase=='pretask', d∈{2,3})``
+(``main.py:47-50``).  This module keeps that exact surface:
+
+* same flag names/defaults (``--data --model --phase --b --epochs --lr
+  --output --n --d --workers --gpus --ratio --momentum --weight_decay --seed
+  --amp``),
+* same ``DataGenerator`` registry pattern (as an explicit dict, not
+  ``getattr`` string-plumbing),
+* same checkpoint filenames (``{model}_{n}_{phase}_{ratio}_{epoch}.pt``).
+
+TPU differences (documented deviations):
+
+* ``--gpus`` selects how many local TPU devices join the ``data`` mesh axis
+  (the reference sets ``CUDA_VISIBLE_DEVICES``, ``main.py:44``),
+* ``--seed`` is actually applied — threaded through every PRNG consumer
+  (the reference parses it but never calls ``torch.manual_seed``,
+  ``main.py:38``),
+* ``--amp`` selects the bf16 compute policy (apex O1 analog, no loss scaling
+  needed on TPU).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Callable, Dict
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    """Reference ``main.py:22-40`` flag surface (types fixed where the
+    reference forgot them: ``--momentum``/``--weight_decay`` were untyped
+    strings upstream, ``main.py:36-37``)."""
+    parser = argparse.ArgumentParser(description="PCRLv2 TPU-native pretraining")
+    parser.add_argument("--data", metavar="DIR", default=None,
+                        help="path to dataset (processed LUNA tree or chest image dir)")
+    parser.add_argument("--model", default="pcrlv2", help="model family")
+    parser.add_argument("--phase", default="pretask", help="pretask | finetune")
+    parser.add_argument("--b", default=16, type=int, help="batch size")
+    parser.add_argument("--epochs", default=100, type=int, help="epochs to train")
+    parser.add_argument("--lr", default=1e-3, type=float, help="base learning rate")
+    parser.add_argument("--output", default="./out", help="output (checkpoint) dir")
+    parser.add_argument("--n", default="luna", help="dataset name: luna | chest")
+    parser.add_argument("--d", default=3, type=int, help="2d or 3d pipeline")
+    parser.add_argument("--workers", default=4, type=int, help="host loader threads")
+    parser.add_argument("--gpus", default="0", help="device list, e.g. 0,1,2,3 "
+                        "(selects that many local TPU devices for the data axis)")
+    parser.add_argument("--ratio", default=1.0, type=float,
+                        help="fraction of the train set used for pretraining")
+    parser.add_argument("--momentum", default=0.9, type=float)
+    parser.add_argument("--weight_decay", default=1e-4, type=float)
+    parser.add_argument("--seed", default=42, type=int)
+    parser.add_argument("--amp", action="store_true", default=False,
+                        help="bf16 compute policy (apex AMP O1 analog)")
+    # extensions beyond the reference surface (all optional)
+    parser.add_argument("--resume", default=None,
+                        help="Orbax train-state dir to resume from")
+    parser.add_argument("--mixup", default=None, type=float,
+                        help="feature-mixup alpha (reference defines "
+                             "mixup_data but never calls it, train_2d.py:44)")
+    parser.add_argument("--train_list", default="train_val_txt/luna_train.txt",
+                        help="UID / image list file")
+    parser.add_argument("--steps_per_epoch", default=None, type=int,
+                        help="cap batches per epoch (smoke runs)")
+    parser.add_argument("--synthetic", action="store_true", default=False,
+                        help="train on synthetic data (no dataset needed)")
+    return parser
+
+
+class DataGenerator:
+    """Per-(dataset, phase) loader builders (reference ``data.py:9-99``).
+
+    Each method returns ``{'train': HostLoader, 'eval': HostLoader|None}``.
+    Unlike the reference — whose eval loader would crash if iterated
+    (``lunaDataset.py:37`` with ``transform=None``) — eval here is a plain
+    un-augmented loader.
+    """
+
+    def __init__(self, args):
+        self.args = args
+
+    # registry: {model}_{n}_{phase} — explicit dict instead of getattr strings
+    @classmethod
+    def registry(cls) -> Dict[str, Callable]:
+        return {
+            "pcrlv2_luna_pretask": cls.pcrlv2_luna_pretask,
+            "pcrlv2_chest_pretask": cls.pcrlv2_chest_pretask,
+        }
+
+    def build(self, name: str):
+        reg = self.registry()
+        if name not in reg:
+            raise SystemExit(
+                f"unknown experiment '{name}' — choose from {sorted(reg)}")
+        return reg[name](self)
+
+    def pcrlv2_luna_pretask(self):
+        from pcrlv2_tpu.data.manifests import get_luna_list, get_luna_pretrain_list
+        from pcrlv2_tpu.data.pipeline import HostLoader, load_luna_sample
+
+        args = self.args
+        uids = get_luna_pretrain_list(args.ratio, args.train_list)
+        x_train, x_valid, _ = get_luna_list(
+            args.data, train_fold=range(7), valid_fold=range(7, 10),
+            test_fold=range(7, 10), suffix="_global_", file_list=uids)
+        print(f"total train images {len(x_train)}, validation images {len(x_valid)}")
+        from pcrlv2_tpu import native
+        from pcrlv2_tpu.data.pipeline import LunaBatchReader
+
+        batch_read = (LunaBatchReader(args.b, n_threads=max(args.workers, 2))
+                      if native.available() else None)
+        train = HostLoader(x_train, args.b, load_luna_sample,
+                           shuffle=True, seed=args.seed,
+                           num_workers=args.workers, batch_read_fn=batch_read)
+        evaluate = (HostLoader(x_valid, args.b, load_luna_sample,
+                               shuffle=False, seed=args.seed,
+                               num_workers=args.workers)
+                    if x_valid else None)
+        return {"train": train, "eval": evaluate}
+
+    def pcrlv2_chest_pretask(self):
+        from functools import partial
+
+        from pcrlv2_tpu.data.manifests import get_chest_list
+        from pcrlv2_tpu.data.pipeline import HostLoader, load_chest_sample
+
+        args = self.args
+        txt = args.train_list
+        if "luna" in os.path.basename(txt):
+            txt = os.path.join(os.path.dirname(txt) or ".", "chest_train.txt")
+        names, _labels = get_chest_list(txt, args.data)
+        names = names[: int(len(names) * args.ratio)]
+        print(f"total train images {len(names)}")
+        train = HostLoader(names, args.b, partial(load_chest_sample),
+                           shuffle=True, seed=args.seed,
+                           num_workers=args.workers)
+        return {"train": train, "eval": None}
+
+
+def _synthetic_loader(args, dim: int):
+    """In-memory loader with the exact preprocessed shapes — lets every CLI
+    path run end-to-end without the LUNA16/NIH downloads."""
+    from pcrlv2_tpu.data.pipeline import (synthetic_chest_batch,
+                                          synthetic_luna_batch)
+
+    n_batches = args.steps_per_epoch or 4
+
+    class _Loader:
+        def __len__(self):
+            return n_batches
+
+        def epoch(self, epoch: int):
+            for i in range(n_batches):
+                seed = args.seed + epoch * n_batches + i
+                if dim == 3:
+                    yield synthetic_luna_batch(args.b, seed=seed)
+                else:
+                    yield synthetic_chest_batch(args.b, seed=seed)
+
+    return {"train": _Loader(), "eval": None}
+
+
+def _limit(loader_dict, steps):
+    if steps is None:
+        return loader_dict
+    inner = loader_dict["train"]
+
+    class _Capped:
+        def __len__(self):
+            return min(steps, len(inner))
+
+        def epoch(self, epoch: int):
+            for i, b in enumerate(inner.epoch(epoch)):
+                if i >= steps:
+                    return
+                yield b
+
+    return {"train": _Capped(), "eval": loader_dict.get("eval")}
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    if not os.path.exists(args.output):
+        print(f"Create the output dir: {args.output}")
+        os.makedirs(args.output, exist_ok=True)
+
+    import jax
+    import jax.numpy as jnp
+
+    from pcrlv2_tpu.core.mesh import DATA_AXIS, create_mesh
+    from pcrlv2_tpu.core.precision import DEFAULT_POLICY, PARITY_POLICY
+    from pcrlv2_tpu.data.augment2d import make_chest_aug_fn
+    from pcrlv2_tpu.data.augment3d import make_luna_aug_fn
+    from pcrlv2_tpu.models import PCRLv2, PCRLv23d
+    from pcrlv2_tpu.train.trainer import TrainConfig, run_training
+
+    # device selection: reference pins CUDA_VISIBLE_DEVICES (main.py:44);
+    # here --gpus picks how many local devices join the data axis.
+    n_req = len([g for g in str(args.gpus).split(",") if g != ""])
+    n_dev = min(max(n_req, 1), jax.local_device_count())
+    mesh = create_mesh((DATA_AXIS,), shape=(n_dev,),
+                       devices=jax.devices()[:n_dev]) if n_dev > 1 else None
+    if args.b % n_dev:
+        raise SystemExit(f"batch {args.b} not divisible by {n_dev} devices")
+
+    cfg = TrainConfig(
+        model=args.model, n=args.n, phase=args.phase, d=args.d, b=args.b,
+        epochs=args.epochs, lr=args.lr, output=args.output, ratio=args.ratio,
+        momentum=args.momentum, weight_decay=args.weight_decay,
+        seed=args.seed, amp=args.amp, workers=args.workers,
+        mixup=args.mixup, resume=args.resume,
+        orbax_dir=os.path.join(os.path.abspath(args.output), "orbax"),
+    )
+
+    policy = DEFAULT_POLICY if args.amp else PARITY_POLICY
+    name = f"{args.model}_{args.n}_{args.phase}"
+
+    if args.synthetic:
+        loaders = _synthetic_loader(args, args.d)
+    else:
+        if not args.data:
+            raise SystemExit("--data is required (or pass --synthetic)")
+        loaders = _limit(DataGenerator(args).build(name), args.steps_per_epoch)
+
+    if args.model == "pcrlv2" and args.phase == "pretask":
+        if args.d == 3:
+            model = PCRLv23d(policy=policy)
+            aug_fn = make_luna_aug_fn()
+            sample = jnp.zeros((args.b, 64, 64, 32, 1), jnp.float32)
+            print("training pcrlv2 3d")
+        elif args.d == 2:
+            model = PCRLv2(policy=policy)
+            aug_fn = make_chest_aug_fn()
+            sample = jnp.zeros((args.b, 224, 224, 3), jnp.float32)
+            print("training pcrlv2 2d")
+        else:
+            raise SystemExit(f"unsupported --d {args.d}")
+        run_training(model, cfg, loaders["train"], aug_fn, dim=args.d,
+                     sample_batch=sample, mesh=mesh)
+    else:
+        # reference behavior: any other combination silently does nothing
+        # after building the dataloader (main.py:47-50) — be loud instead.
+        raise SystemExit(
+            f"no trainer for (model={args.model}, phase={args.phase})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Device mesh and sharding helpers.
+
+The reference scales with single-process ``nn.DataParallel`` over 4 CUDA GPUs
+(reference ``train_2d.py:75``, ``train_3d.py:54``, GPU selection via
+``CUDA_VISIBLE_DEVICES`` in ``main.py:44``).  The TPU-native equivalent is a
+``jax.sharding.Mesh`` with the batch sharded over a ``data`` axis: one jitted
+train step with replicated parameters, XLA inserting the gradient ``psum`` over
+ICI automatically.  The mesh keeps two further axes reserved so the same step
+function scales to model sharding and spatial (halo-exchanged volume) sharding
+without API changes:
+
+* ``data``    — batch dimension (DP; the only axis the reference exercises)
+* ``model``   — channel/tensor sharding (TP; reserved)
+* ``spatial`` — volume-depth sharding (the CP/SP analog for 3D CNNs; reserved)
+
+Across pod slices the same collectives ride DCN — nothing here is
+single-slice-specific.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+SPATIAL_AXIS = "spatial"
+
+
+def local_device_count() -> int:
+    return jax.local_device_count()
+
+
+def create_mesh(
+    axes: Sequence[str] = (DATA_AXIS,),
+    shape: Sequence[int] | None = None,
+    devices: Sequence[jax.Device] | None = None,
+) -> Mesh:
+    """Build a device mesh.
+
+    Args:
+      axes: mesh axis names, e.g. ``('data',)`` or ``('data', 'model')``.
+      shape: per-axis sizes.  Defaults to all devices on the first axis and 1
+        on the rest.
+      devices: explicit device list (defaults to ``jax.devices()``).
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if shape is None:
+        shape = (n,) + (1,) * (len(axes) - 1)
+    if math.prod(shape) != n:
+        raise ValueError(f"mesh shape {shape} does not cover {n} devices")
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axis_names=tuple(axes))
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 1, axis: str = DATA_AXIS) -> NamedSharding:
+    """Sharding that splits the leading (batch) dimension over ``axis``."""
+    spec = P(axis, *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a pytree of host arrays with the leading dim sharded on ``data``.
+
+    Every leaf must have a leading batch dimension divisible by the ``data``
+    axis size.
+    """
+
+    def _put(x):
+        x = np.asarray(x)
+        return jax.device_put(x, batch_sharding(mesh, x.ndim))
+
+    return jax.tree_util.tree_map(_put, batch)

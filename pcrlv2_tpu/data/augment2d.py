@@ -1,0 +1,317 @@
+"""On-device 2D augmentation — the torchvision/PIL stack as jit-compiled JAX.
+
+Reference pipeline (``data.py:14-44`` + ``chestDataset.py:31-48``), per image:
+
+* 2 global views: RandomResizedCrop(224, scale (0.3, 1)) → RandomRotation(10)
+  → RandomHorizontalFlip
+* 6 local views: RandomResizedCrop(96, scale (0.05, 0.3)) → rot10 → hflip
+* clean normalized copies of the global views are kept as restoration GT
+  *before* intensity corruption (``chestDataset.py:37-40``)
+* corruption: RandomGrayscale(0.2) → GaussianBlur(σ∈[0.1,2], p=0.5) →
+  ColorJitter(0.4×4) → Normalize(ImageNet) → Cutout(3 holes, 32px; globals
+  only, ``data.py:44``)
+
+The host feeds a fixed-size float canvas (decoded image resized to
+``canvas×canvas``); every random view is cut on device with
+``jax.image.scale_and_translate`` (dynamic scale/translation + antialiasing —
+the PIL-resize-equivalent primitive), so one H2D transfer serves all 8 views.
+
+Documented deviations from torchvision (loss-curve-level, not bit-level):
+* ColorJitter sub-ops run in fixed order brightness→contrast→saturation→hue
+  (torchvision shuffles the order per call).
+* Crops are cut from the fixed canvas rather than the native-resolution file;
+  set ``canvas`` to the native size for full fidelity.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.ndimage import map_coordinates
+
+IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406])
+IMAGENET_STD = jnp.array([0.229, 0.224, 0.225])
+
+
+# ---------------------------------------------------------------------------
+# spatial
+# ---------------------------------------------------------------------------
+
+
+def sample_resized_crop_box(key, img_hw, scale, ratio=(3.0 / 4.0, 4.0 / 3.0),
+                            attempts: int = 10):
+    """torchvision ``RandomResizedCrop.get_params``: rejection-sample (i, j, h, w).
+
+    Static ``attempts`` tries, first valid wins; fallback is the torchvision
+    center crop clamped to the valid aspect range.
+    """
+    h_img, w_img = img_hw
+    area = h_img * w_img
+    keys = jax.random.split(key, 3)
+    target_area = area * jax.random.uniform(
+        keys[0], (attempts,), minval=scale[0], maxval=scale[1])
+    log_ratio = jax.random.uniform(
+        keys[1], (attempts,), minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1]))
+    aspect = jnp.exp(log_ratio)
+    w = jnp.sqrt(target_area * aspect)
+    h = jnp.sqrt(target_area / aspect)
+    valid = (w <= w_img) & (h <= h_img) & (w >= 1) & (h >= 1)
+    # torchvision rounds sizes then samples integer corners; we keep floats
+    # (continuous corners) — sub-pixel difference only.
+    u = jax.random.uniform(keys[2], (2, attempts))
+    i = u[0] * (h_img - h)
+    j = u[1] * (w_img - w)
+
+    first = jnp.argmax(valid)  # index of first True (0 if none)
+    any_valid = jnp.any(valid)
+
+    # fallback: aspect-clamped center crop (torchvision lines after the loop)
+    in_ratio = w_img / h_img
+    fw = jnp.where(in_ratio < ratio[0], w_img,
+                   jnp.where(in_ratio > ratio[1], h_img * ratio[1], w_img))
+    fh = jnp.where(in_ratio < ratio[0], w_img / ratio[0],
+                   jnp.where(in_ratio > ratio[1], h_img, h_img))
+    fi = (h_img - fh) / 2.0
+    fj = (w_img - fw) / 2.0
+
+    box_i = jnp.where(any_valid, i[first], fi)
+    box_j = jnp.where(any_valid, j[first], fj)
+    box_h = jnp.where(any_valid, h[first], fh)
+    box_w = jnp.where(any_valid, w[first], fw)
+    return box_i, box_j, box_h, box_w
+
+
+def crop_and_resize(img: jax.Array, box, out_size: int) -> jax.Array:
+    """Resize the (i, j, h, w) box of HWC ``img`` to ``out_size²`` with a
+    linear antialiasing filter (PIL-resize equivalent)."""
+    i, j, h, w = box
+    scale = jnp.array([out_size / h, out_size / w])
+    # jax.image.scale_and_translate samples input at
+    # (out + 0.5)/scale - 0.5 + (box offset)  ⇒  translation = -offset·scale.
+    translation = -jnp.array([i, j]) * scale
+    return jax.image.scale_and_translate(
+        img, (out_size, out_size, img.shape[-1]), (0, 1),
+        scale, translation, method="linear", antialias=True)
+
+
+def random_rotate(key, img: jax.Array, degrees: float = 10.0) -> jax.Array:
+    """torchvision ``RandomRotation(10)``: nearest interpolation, no expand,
+    zero fill, rotation about the image center."""
+    angle = jax.random.uniform(key, (), minval=-degrees, maxval=degrees)
+    theta = angle * jnp.pi / 180.0
+    h, w = img.shape[:2]
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    src_y = cos * (yy - cy) - sin * (xx - cx) + cy
+    src_x = sin * (yy - cy) + cos * (xx - cx) + cx
+    out = jax.vmap(
+        lambda ch: map_coordinates(ch, [src_y, src_x], order=0,
+                                   mode="constant", cval=0.0),
+        in_axes=-1, out_axes=-1)(img)
+    return out
+
+
+def random_hflip(key, img: jax.Array, p: float = 0.5) -> jax.Array:
+    return jnp.where(jax.random.bernoulli(key, p), jnp.flip(img, axis=1), img)
+
+
+def spatial_view(key, img, img_hw, out_size: int, scale) -> jax.Array:
+    """One random view: resized-crop → rotate → hflip (``data.py:19-29``)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    box = sample_resized_crop_box(k1, img_hw, scale)
+    v = crop_and_resize(img, box, out_size)
+    v = random_rotate(k2, v)
+    return random_hflip(k3, v)
+
+
+# ---------------------------------------------------------------------------
+# intensity
+# ---------------------------------------------------------------------------
+
+
+def rgb_to_gray(img: jax.Array) -> jax.Array:
+    """ITU-R 601-2 luma (PIL ``convert('L')`` / torchvision grayscale)."""
+    return (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])
+
+
+def random_grayscale(key, img, p: float = 0.2):
+    g = rgb_to_gray(img)[..., None]
+    return jnp.where(jax.random.bernoulli(key, p),
+                     jnp.broadcast_to(g, img.shape), img)
+
+
+_BLUR_RADIUS_2D = 8
+
+
+def gaussian_blur_2d(img: jax.Array, sigma) -> jax.Array:
+    """Separable Gaussian blur, edge padding (PIL ``ImageFilter.GaussianBlur``
+    with radius=σ, reference ``utils.py:139-148``)."""
+    r = _BLUR_RADIUS_2D
+    x = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    w = jnp.exp(-0.5 * (x / jnp.maximum(sigma, 1e-6)) ** 2)
+    w = jnp.where(sigma < 1e-4, (x == 0).astype(jnp.float32), w)
+    w = w / jnp.sum(w)
+
+    def blur_axis(im, axis):
+        moved = jnp.moveaxis(im, axis, -1)
+        pad = [(0, 0)] * (moved.ndim - 1) + [(r, r)]
+        padded = jnp.pad(moved, pad, mode="edge")
+        idx = jnp.arange(moved.shape[-1])[:, None] + jnp.arange(2 * r + 1)[None, :]
+        out = jnp.einsum("...lk,k->...l", padded[..., idx], w)
+        return jnp.moveaxis(out, -1, axis)
+
+    return blur_axis(blur_axis(img, 0), 1)
+
+
+def random_blur_2d(key, img, sigma_range=(0.1, 2.0), p: float = 0.5):
+    ks, kp = jax.random.split(key)
+    sigma = jax.random.uniform(ks, (), minval=sigma_range[0],
+                               maxval=sigma_range[1])
+    return jnp.where(jax.random.bernoulli(kp, p),
+                     gaussian_blur_2d(img, sigma), img)
+
+
+def _rgb_to_hsv(img):
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
+    v = maxc
+    delta = maxc - minc
+    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-12), 0.0)
+    safe_delta = jnp.maximum(delta, 1e-12)
+    rc = (maxc - r) / safe_delta
+    gc = (maxc - g) / safe_delta
+    bc = (maxc - b) / safe_delta
+    h = jnp.where(maxc == r, bc - gc,
+                  jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = jnp.where(delta == 0, 0.0, h)
+    h = (h / 6.0) % 1.0
+    return h, s, v
+
+
+def _hsv_to_rgb(h, s, v):
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - f * s)
+    t = v * (1.0 - (1.0 - f) * s)
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def color_jitter(key, img, brightness=0.4, contrast=0.4, saturation=0.4,
+                 hue=0.4):
+    """torchvision ``ColorJitter(0.4, 0.4, 0.4, 0.4)`` (``data.py:33``), fixed
+    op order (documented deviation — torchvision shuffles)."""
+    kb, kc, ks, kh = jax.random.split(key, 4)
+    fb = jax.random.uniform(kb, (), minval=max(0.0, 1 - brightness),
+                            maxval=1 + brightness)
+    img = jnp.clip(img * fb, 0.0, 1.0)
+    fc = jax.random.uniform(kc, (), minval=max(0.0, 1 - contrast),
+                            maxval=1 + contrast)
+    mean = jnp.mean(rgb_to_gray(img))
+    img = jnp.clip((img - mean) * fc + mean, 0.0, 1.0)
+    fs = jax.random.uniform(ks, (), minval=max(0.0, 1 - saturation),
+                            maxval=1 + saturation)
+    gray = rgb_to_gray(img)[..., None]
+    img = jnp.clip((img - gray) * fs + gray, 0.0, 1.0)
+    fh = jax.random.uniform(kh, (), minval=-hue, maxval=hue)
+    h, s, v = _rgb_to_hsv(img)
+    img = _hsv_to_rgb((h + fh) % 1.0, s, v)
+    return jnp.clip(img, 0.0, 1.0)
+
+
+def normalize_imagenet(img):
+    return (img - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def cutout(key, img, n_holes: int = 3, length: int = 32):
+    """Reference ``Cutout`` (``utils.py:60-98``): square holes centered at
+    uniform pixels, clipped at borders, zeroing *normalized* values."""
+    h, w = img.shape[:2]
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    mask = jnp.ones((h, w), jnp.float32)
+    keys = jax.random.split(key, n_holes)
+    for k in keys:
+        cy = jax.random.randint(k, (), 0, h)
+        cx = jax.random.randint(jax.random.fold_in(k, 1), (), 0, w)
+        hole = ((yy >= cy - length // 2) & (yy < cy + length // 2)
+                & (xx >= cx - length // 2) & (xx < cx + length // 2))
+        mask = mask * (1.0 - hole.astype(jnp.float32))
+    return img * mask[..., None]
+
+
+def corrupt_view(key, img, with_cutout: bool):
+    """RandomGrayscale → blur(p=.5) → ColorJitter → Normalize [→ Cutout]
+    (reference ``data.py:30-44``)."""
+    kg, kb, kj, kc = jax.random.split(key, 4)
+    img = random_grayscale(kg, img)
+    img = random_blur_2d(kb, img)
+    img = color_jitter(kj, img)
+    img = normalize_imagenet(img)
+    if with_cutout:
+        img = cutout(kc, img)
+    return img
+
+
+# ---------------------------------------------------------------------------
+# batch-level aug fn
+# ---------------------------------------------------------------------------
+
+
+def _augment_one_2d(key, img, hw, n_local: int, global_size: int,
+                    local_size: int):
+    """Per-image pipeline of ``Pcrlv2ChestPretask.__getitem__``
+    (reference ``chestDataset.py:31-48``)."""
+    keys = jax.random.split(key, 4 + 2 * n_local)
+    y1 = spatial_view(keys[0], img, hw, global_size, (0.3, 1.0))
+    y2 = spatial_view(keys[1], img, hw, global_size, (0.3, 1.0))
+    gt1 = normalize_imagenet(y1)
+    gt2 = normalize_imagenet(y2)
+    x1 = corrupt_view(keys[2], y1, with_cutout=True)
+    x2 = corrupt_view(keys[3], y2, with_cutout=True)
+
+    def local_view(ks, kc):
+        v = spatial_view(ks, img, hw, local_size, (0.05, 0.3))
+        return corrupt_view(kc, v, with_cutout=False)
+
+    locals_out = jax.vmap(local_view)(keys[4:4 + n_local],
+                                      keys[4 + n_local:4 + 2 * n_local])
+    return x1, x2, gt1, gt2, locals_out
+
+
+def make_chest_aug_fn(n_local: int = 6, global_size: int = 224,
+                      local_size: int = 96):
+    """Build the batch aug fn for the 2D pipeline.
+
+    Input batch: ``{'image': (B, H0, W0, 3) float in [0,1], 'size': (B, 2)}``
+    — decoded images on a fixed canvas plus their valid (h, w) extents.
+    Output views match ``chestDataset.py:48``: x1/x2/gt/gt2 (B, 224, 224, 3)
+    and locals (B, 6, 96, 96, 3), ImageNet-normalized.
+    """
+
+    def aug_fn(key, batch):
+        imgs = batch["image"].astype(jnp.float32)
+        sizes = batch["size"].astype(jnp.float32)
+        b = imgs.shape[0]
+        keys = jax.random.split(key, b)
+        fn = partial(_augment_one_2d, n_local=n_local,
+                     global_size=global_size, local_size=local_size)
+        x1, x2, gt1, gt2, locals_out = jax.vmap(fn)(keys, imgs, sizes)
+        return {"x1": x1, "x2": x2, "gt": gt1, "gt2": gt2,
+                "locals": locals_out}
+
+    return aug_fn

@@ -1,0 +1,233 @@
+"""Host→HBM input pipeline.
+
+The reference feeds the GPU from 4 torch ``DataLoader`` worker processes that
+decode + augment on CPU (reference ``data.py:95-98``).  Here augmentation is
+on-device (see ``augment2d/3d``), so the host pipeline only has to (1) read
+raw crops/images, (2) batch them, (3) keep the next batches in flight while
+the device computes.  That is a thread pool over ``np.load``/PNG-decode plus a
+double-buffered device prefetch — cheap enough that the input pipeline stops
+being the bottleneck (SURVEY.md §7 hard part #6).
+
+A native C++ loader (``pcrlv2_tpu.native``) accelerates the npy read path when
+the shared library is built; the pure-NumPy path is always available.
+"""
+
+from __future__ import annotations
+
+import collections
+import concurrent.futures
+import os
+import queue
+import threading
+from typing import Callable, Iterator, List, Sequence
+
+import jax
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# sample readers
+# ---------------------------------------------------------------------------
+
+
+def load_luna_sample(global_path: str) -> dict:
+    """Read one preprocessed LUNA crop pair + its local crops
+    (``{uid}_global_{k}.npy`` → (2, X, Y, Z); ``_local_`` → (V, x, y, z);
+    reference ``lunaDataset.py:30-56``)."""
+    pair = np.load(global_path)
+    local = np.load(global_path.replace("global", "local"))
+    return {"pair": np.asarray(pair, np.float32),
+            "locals": np.asarray(local, np.float32)}
+
+
+def load_chest_sample(image_path: str, canvas: int = 512) -> dict:
+    """Decode a chest X-ray to RGB float [0,1] on a fixed square canvas.
+
+    The reference decodes with PIL and augments at native resolution on CPU
+    workers (``chestDataset.py:33``); we resize host-side to a fixed canvas so
+    the random crops are cut on device from one static-shape transfer.
+    """
+    from PIL import Image
+
+    with Image.open(image_path) as im:
+        im = im.convert("RGB").resize((canvas, canvas), Image.BILINEAR)
+        arr = np.asarray(im, np.float32) / 255.0
+    return {"image": arr, "size": np.array([canvas, canvas], np.int32)}
+
+
+class LunaBatchReader:
+    """Batch-level reader for the processed LUNA tree using the native C++
+    thread pool (``native/pcrl_io.cpp``): whole batches of ``_global_``/
+    ``_local_`` npy pairs land in two preallocated float32 buffers with one
+    call, no per-sample Python allocation.  Transparent NumPy fallback."""
+
+    def __init__(self, batch_size: int, pair_shape=(2, 64, 64, 32),
+                 local_shape=(6, 16, 16, 16), n_threads: int = 8):
+        self.n_threads = n_threads
+        self._pair = np.empty((batch_size, *pair_shape), np.float32)
+        self._local = np.empty((batch_size, *local_shape), np.float32)
+
+    def __call__(self, global_paths: Sequence[str]) -> dict:
+        from pcrlv2_tpu import native
+
+        n = len(global_paths)
+        local_paths = [p.replace("global", "local") for p in global_paths]
+        native.read_batch(global_paths, self._pair[:n], self.n_threads)
+        native.read_batch(local_paths, self._local[:n], self.n_threads)
+        # copies: buffers are reused across batches, consumers keep views
+        return {"pair": self._pair[:n].copy(), "locals": self._local[:n].copy()}
+
+
+# ---------------------------------------------------------------------------
+# batching iterator with background workers + device prefetch
+# ---------------------------------------------------------------------------
+
+
+class HostLoader:
+    """Threaded batch loader: shuffle file list per epoch, read samples with a
+    thread pool, stack into pinned host batches."""
+
+    def __init__(
+        self,
+        paths: Sequence[str],
+        batch_size: int,
+        read_fn: Callable[[str], dict],
+        *,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_workers: int = 8,
+        drop_last: bool = True,
+        batch_read_fn: Callable[[Sequence[str]], dict] | None = None,
+    ):
+        if not paths:
+            raise ValueError("empty path list")
+        self.paths = list(paths)
+        self.batch_size = batch_size
+        self.read_fn = read_fn
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = num_workers
+        self.drop_last = drop_last
+        # batch-level reader (e.g. the native C++ thread pool) — reads a whole
+        # chunk of paths at once; overlapped one batch ahead in epoch().
+        self.batch_read_fn = batch_read_fn
+
+    def __len__(self) -> int:
+        n = len(self.paths) // self.batch_size
+        if not self.drop_last and len(self.paths) % self.batch_size:
+            n += 1
+        return n
+
+    def epoch(self, epoch: int) -> Iterator[dict]:
+        order = np.arange(len(self.paths))
+        if self.shuffle:
+            np.random.RandomState(self.seed + epoch).shuffle(order)
+        paths = [self.paths[i] for i in order]
+        if self.batch_read_fn is not None:
+            yield from self._epoch_batched(paths)
+            return
+        with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
+            pending: collections.deque = collections.deque()
+            ahead = self.num_workers * 2
+            idx = 0
+            n_batches = len(self)
+            for b in range(n_batches):
+                start = b * self.batch_size
+                chunk = paths[start:start + self.batch_size]
+                while idx < len(paths) and len(pending) < ahead + len(chunk):
+                    pending.append(pool.submit(self.read_fn, paths[idx]))
+                    idx += 1
+                samples = [pending.popleft().result() for _ in range(len(chunk))]
+                yield {
+                    k: np.stack([s[k] for s in samples])
+                    for k in samples[0]
+                }
+
+    def _epoch_batched(self, paths: List[str]) -> Iterator[dict]:
+        """Batch-level reads, one batch ahead of the consumer."""
+        n_batches = len(self)
+        chunks = [paths[b * self.batch_size:(b + 1) * self.batch_size]
+                  for b in range(n_batches)]
+        with concurrent.futures.ThreadPoolExecutor(1) as pool:
+            fut = pool.submit(self.batch_read_fn, chunks[0]) if chunks else None
+            for b in range(n_batches):
+                batch = fut.result()
+                if b + 1 < n_batches:
+                    fut = pool.submit(self.batch_read_fn, chunks[b + 1])
+                yield batch
+
+
+def device_prefetch(iterator: Iterator[dict], mesh=None, buffer_size: int = 2):
+    """Move host batches to device ahead of compute (double buffering).
+
+    With a mesh, each array is device_put with the leading dim sharded over the
+    ``data`` axis; otherwise a plain single-device transfer.
+    """
+    from pcrlv2_tpu.core.mesh import shard_batch
+
+    q: queue.Queue = queue.Queue(maxsize=buffer_size)
+    sentinel = object()
+
+    def put(batch):
+        if mesh is not None:
+            return shard_batch(mesh, batch)
+        return jax.device_put(batch)
+
+    def worker():
+        try:
+            for batch in iterator:
+                q.put(put(batch))
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item
+
+
+# ---------------------------------------------------------------------------
+# synthetic data (tests / benchmarking without the LUNA16 download)
+# ---------------------------------------------------------------------------
+
+
+def synthetic_luna_batch(batch_size: int = 32, size=(64, 64, 32),
+                         local=(16, 16, 16), n_views: int = 6, seed: int = 0):
+    """A raw batch with the exact shapes ``luna_preprocess.py`` emits
+    (``:144-145``): pair (B,2,64,64,32), locals (B,6,16,16,16), values [0,1]."""
+    rng = np.random.RandomState(seed)
+    return {
+        "pair": rng.rand(batch_size, 2, *size).astype(np.float32),
+        "locals": rng.rand(batch_size, n_views, *local).astype(np.float32),
+    }
+
+
+def synthetic_chest_batch(batch_size: int = 64, canvas: int = 512, seed: int = 0):
+    rng = np.random.RandomState(seed)
+    return {
+        "image": rng.rand(batch_size, canvas, canvas, 3).astype(np.float32),
+        "size": np.tile(np.array([canvas, canvas], np.int32), (batch_size, 1)),
+    }
+
+
+def write_synthetic_luna_tree(root: str, n_subsets: int = 10,
+                              uids_per_subset: int = 2, pairs_per_uid: int = 2,
+                              seed: int = 0) -> List[str]:
+    """Materialize a fake processed-LUNA tree (for integration tests / demos)."""
+    rng = np.random.RandomState(seed)
+    uids = []
+    for s in range(n_subsets):
+        d = os.path.join(root, f"subset{s}")
+        os.makedirs(d, exist_ok=True)
+        for u in range(uids_per_subset):
+            uid = f"1.2.{s}.{u}"
+            uids.append(uid)
+            for k in range(pairs_per_uid):
+                np.save(os.path.join(d, f"{uid}_global_{k}.npy"),
+                        rng.rand(2, 64, 64, 32).astype(np.float32))
+                np.save(os.path.join(d, f"{uid}_local_{k}.npy"),
+                        rng.rand(6, 16, 16, 16).astype(np.float32))
+    return uids

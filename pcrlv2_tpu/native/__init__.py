@@ -1,0 +1,119 @@
+"""ctypes bindings for the native C++ data plane (``native/pcrl_io.cpp``).
+
+The reference's IO substrate is torch ``DataLoader`` worker processes
+(reference ``data.py:95-98``); here a C++ thread pool reads preprocessed
+``.npy`` crops straight into one preallocated float32 batch buffer — no GIL
+on the IO path, no per-sample allocation.
+
+The shared library is built on demand with ``make -C native`` (g++ is part of
+the image); if the build or load fails everything falls back to NumPy, so the
+native layer is an accelerator, never a dependency.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Sequence
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libpcrl_io.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+_load_attempted = False
+
+
+def _build() -> bool:
+    src = os.path.join(_NATIVE_DIR, "pcrl_io.cpp")
+    if not os.path.exists(src):
+        return False
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=120)
+        return os.path.exists(_SO_PATH)
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None on any failure."""
+    global _lib, _load_attempted
+    with _lib_lock:
+        if _lib is not None or _load_attempted:
+            return _lib
+        _load_attempted = True
+        if not os.path.exists(_SO_PATH) and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+            lib.pcrl_version.restype = ctypes.c_int
+            lib.pcrl_read_npy.restype = ctypes.c_int64
+            lib.pcrl_read_npy.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64]
+            lib.pcrl_read_batch.restype = ctypes.c_int64
+            lib.pcrl_read_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.c_int]
+            if lib.pcrl_version() != 1:
+                return None
+            _lib = lib
+        except OSError:
+            _lib = None
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def read_npy(path: str, out: np.ndarray | None = None,
+             count: int | None = None) -> np.ndarray:
+    """Read one float-convertible ``.npy`` into a flat float32 array."""
+    lib = get_lib()
+    if lib is None:
+        arr = np.load(path).astype(np.float32, copy=False)
+        return arr.reshape(-1) if out is None else arr
+    if out is None:
+        if count is None:
+            count = int(os.path.getsize(path) // 4)  # upper bound
+        out = np.empty(count, np.float32)
+    buf = out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    n = lib.pcrl_read_npy(path.encode(), buf, out.size)
+    if n < 0:
+        raise IOError(f"pcrl_read_npy({path}) failed with code {n}")
+    return out[:n]
+
+
+def read_batch(paths: Sequence[str], out: np.ndarray,
+               n_threads: int = 8) -> np.ndarray:
+    """Fill ``out`` (n_items, *item_shape) float32 from ``paths`` in parallel.
+
+    Every file must contain exactly ``out[0].size`` elements.  Falls back to
+    a NumPy loop when the native library is unavailable.
+    """
+    assert out.dtype == np.float32 and out.flags.c_contiguous
+    n_items = len(paths)
+    assert out.shape[0] == n_items
+    stride = out[0].size if n_items else 0
+    lib = get_lib()
+    if lib is None:
+        for i, p in enumerate(paths):
+            out[i] = np.load(p).astype(np.float32, copy=False).reshape(
+                out.shape[1:])
+        return out
+    arr = (ctypes.c_char_p * n_items)(*[p.encode() for p in paths])
+    buf = out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    rc = lib.pcrl_read_batch(arr, n_items, buf, stride, n_threads)
+    if rc != 0:
+        bad = int(-rc) - 1
+        raise IOError(f"pcrl_read_batch failed on {paths[bad]}")
+    return out

@@ -1,0 +1,177 @@
+"""Channels-last convolution ops.
+
+The reference's conv surface (SURVEY.md §3.4 ops census):
+
+* ``nn.Conv3d(k=3, padding=1)``           — reference ``pcrlv2_model_3d.py:9``
+* ``nn.Conv3d(k=1)``                      — reference ``pcrlv2_model_3d.py:78``
+* ``nn.ConvTranspose3d(k=2, stride=2)``   — reference ``pcrlv2_model_3d.py:52``
+* ``nn.Conv2d(k=3/k=1)`` via smp          — reference ``pcrlv2_model.py``
+
+TPU-first decisions:
+
+* **NDHWC / NHWC layouts** — channels last keeps the channel dimension on the
+  128-wide lane axis so XLA tiles convs straight onto the MXU.
+* **k2s2 transpose-conv as an einsum** — with kernel == stride there is no
+  output overlap, so the transpose conv is exactly one matmul
+  ``(B·D·H·W, Ci) @ (Ci, Co·8)`` followed by a free reshape/transpose.  This
+  avoids the gradient-style conv lowering entirely and runs as a single MXU op.
+* **bf16 compute, f32 accumulation** — the MXU accumulates bf16 contractions
+  in f32 internally; outputs stay in the compute dtype.  (An explicit
+  ``preferred_element_type`` is avoided: its conv transpose rule feeds an f32
+  cotangent into a bf16 conv and fails to lower.)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# dimension_numbers: (lhs, rhs, out)
+DN_3D = ("NDHWC", "DHWIO", "NDHWC")
+DN_2D = ("NHWC", "HWIO", "NHWC")
+
+
+def _same_padding(kernel_spatial):
+    """Torch ``padding=k//2`` == SAME for odd k, which is all the reference uses."""
+    return [(k // 2, k // 2) for k in kernel_spatial]
+
+
+def conv_impl() -> str:
+    """Which conv3d implementation to use: ``"xla"`` (default) or
+    ``"pallas"`` (the 27-tap MXU kernel in :mod:`pcrlv2_tpu.ops.pallas_conv`,
+    applicable to the 3³/stride-1/SAME convs the models are built from).
+    Select with ``PCRL_CONV3D=pallas``."""
+    import os
+
+    return os.environ.get("PCRL_CONV3D", "xla").lower()
+
+
+def conv3d(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    *,
+    stride: int = 1,
+    padding=None,
+) -> jax.Array:
+    """3D convolution, ``x`` NDHWC, ``w`` DHWIO.
+
+    Equivalent of ``nn.Conv3d`` (reference ``pcrlv2_model_3d.py:9,78``).
+    Output dtype follows ``x``; the MXU accumulates in f32.
+    """
+    if (conv_impl() == "pallas" and stride == 1 and w.shape[:3] == (3, 3, 3)
+            and padding is None):
+        from pcrlv2_tpu.ops.pallas_conv import conv3d_pallas
+
+        bias = (b if b is not None
+                else jnp.zeros((w.shape[-1],), x.dtype)).reshape(-1)
+        return conv3d_pallas(x, w, bias)
+    if padding is None:
+        padding = _same_padding(w.shape[:3])
+    out = lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride,) * 3,
+        padding=padding,
+        dimension_numbers=DN_3D,
+    )
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def conv2d(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    *,
+    stride: int = 1,
+    padding=None,
+) -> jax.Array:
+    """2D convolution, ``x`` NHWC, ``w`` HWIO (``nn.Conv2d`` equivalent)."""
+    if padding is None:
+        padding = _same_padding(w.shape[:2])
+    out = lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride,) * 2,
+        padding=padding,
+        dimension_numbers=DN_2D,
+    )
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def conv_transpose3d(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    *,
+    stride: int = 2,
+) -> jax.Array:
+    """Transpose 3D conv, ``x`` NDHWC, ``w`` DHWIO, torch semantics
+    (``nn.ConvTranspose3d(k, stride)`` with ``padding=0``; reference
+    ``pcrlv2_model_3d.py:52`` uses k=2, s=2).
+
+    Fast path k == stride (non-overlapping): a single einsum/matmul —
+    ``out[b, s·d+i, s·h+j, s·w+k, o] = Σ_c x[b,d,h,w,c] · w[i,j,k,c,o]``.
+    General case: fractionally-strided conv (lhs_dilation) with a spatially
+    flipped kernel.
+    """
+    kd, kh, kw = w.shape[:3]
+    if (kd, kh, kw) == (stride,) * 3:
+        bsz, d, h, wd, _ = x.shape
+        co = w.shape[-1]
+        out = jnp.einsum("bdhwc,ijkco->bdihjwko", x, w.astype(x.dtype))
+        out = out.reshape(bsz, d * stride, h * stride, wd * stride, co)
+    else:
+        pad = [(k - 1, k - 1) for k in (kd, kh, kw)]
+        out = lax.conv_general_dilated(
+            x,
+            jnp.flip(w, (0, 1, 2)).astype(x.dtype),
+            window_strides=(1, 1, 1),
+            padding=pad,
+            lhs_dilation=(stride,) * 3,
+            dimension_numbers=DN_3D,
+        )
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def depthwise_conv3d(x: jax.Array, w: jax.Array, *, padding=None) -> jax.Array:
+    """Depthwise 3D conv (used by on-device Gaussian blur).
+
+    ``x`` NDHWC, ``w`` (kd, kh, kw, 1, C) — one filter per channel.
+    """
+    c = x.shape[-1]
+    if padding is None:
+        padding = _same_padding(w.shape[:3])
+    out = lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(1, 1, 1),
+        padding=padding,
+        dimension_numbers=DN_3D,
+        feature_group_count=c,
+    )
+    return out
+
+
+def depthwise_conv2d(x: jax.Array, w: jax.Array, *, padding=None) -> jax.Array:
+    """Depthwise 2D conv (Gaussian blur / PIL ``ImageFilter.GaussianBlur``
+    replacement, reference ``utils.py:139-148``).  ``w`` (kh, kw, 1, C)."""
+    c = x.shape[-1]
+    if padding is None:
+        padding = _same_padding(w.shape[:2])
+    out = lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=padding,
+        dimension_numbers=DN_2D,
+        feature_group_count=c,
+    )
+    return out

@@ -1,0 +1,169 @@
+"""Epoch-loop trainers mirroring the reference engines.
+
+``train_pcrlv2_3d`` (reference ``train_3d.py:42-83``) and ``train_pcrlv2``
+(reference ``train_2d.py:62-108``): cosine LR per epoch, fused step per batch,
+meters printed every 10 iterations, checkpoints at ``epoch % 100 == 0`` or
+``epoch == 240`` under the reference filename convention
+``{model}_{n}_{phase}_{ratio}_{epoch}.pt`` — 3D saves the full model, 2D saves
+the encoder only (``train_3d.py:74`` vs ``train_2d.py:99``).  On top of the
+reference's save-only story this trainer also writes Orbax train state for
+exact resume (optimizer + step included).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pcrlv2_tpu.core import mesh as mesh_lib
+from pcrlv2_tpu.core.rng import step_key
+from pcrlv2_tpu.train import checkpoint as ckpt_lib
+from pcrlv2_tpu.train.optimizer import cosine_lr, sgd
+from pcrlv2_tpu.train.step import TrainState, create_train_state, make_train_step
+from pcrlv2_tpu.utils.meters import AverageMeter, MetricLogger
+
+
+@dataclass
+class TrainConfig:
+    """CLI-parity hyperparameters (reference ``main.py:22-40``)."""
+
+    model: str = "pcrlv2"
+    n: str = "luna"
+    phase: str = "pretask"
+    d: int = 3
+    b: int = 16
+    epochs: int = 240
+    lr: float = 1e-3
+    output: str = "./out"
+    ratio: float = 1.0
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    seed: int = 42
+    amp: bool = True  # bf16 compute (the TPU analog of apex O1)
+    workers: int = 4
+    # extensions beyond the reference surface
+    mixup: Optional[float] = None  # mixup_data exists-but-unused upstream
+    resume: Optional[str] = None
+    log_every: int = 10
+    orbax_dir: Optional[str] = None
+
+    def ckpt_name(self, epoch: int) -> str:
+        return (f"{self.model}_{self.n}_{self.phase}_{self.ratio}_{epoch}.pt")
+
+
+class Trainer:
+    """Drives the fused step over epochs for either pipeline."""
+
+    def __init__(self, model, cfg: TrainConfig, aug_fn=None, *,
+                 dim: int = 3, sample_batch=None, mesh=None):
+        self.model = model
+        self.cfg = cfg
+        self.mesh = mesh
+        self.dim = dim
+        self.tx = sgd(momentum=cfg.momentum, weight_decay=cfg.weight_decay)
+        self.state = create_train_state(
+            self.model, self.tx, jax.random.key(cfg.seed), sample_batch)
+        loss_guard = 1000.0 if dim == 3 else None  # train_3d.py:140 only
+        self._step_fn = jax.jit(
+            make_train_step(self.model, self.tx, dim=dim, aug_fn=aug_fn,
+                            loss_guard=loss_guard, mixup_alpha=cfg.mixup),
+            donate_argnums=(0,),
+        )
+        self.logger = MetricLogger(
+            os.path.join(cfg.output, "metrics.jsonl")
+            if os.path.isdir(cfg.output) else None)
+        self._global_step = 0
+
+    # -- checkpointing -----------------------------------------------------
+
+    def save_reference_ckpt(self, epoch: int):
+        cfg = self.cfg
+        os.makedirs(cfg.output, exist_ok=True)
+        path = os.path.join(cfg.output, cfg.ckpt_name(epoch))
+        variables = {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats}
+        if self.dim == 3:
+            ckpt_lib.export_pcrlv23d(variables, path, opt=vars(cfg), epoch=epoch)
+        else:
+            enc_vars = {"params": variables["params"]["encoder"],
+                        "batch_stats": variables["batch_stats"]["encoder"]}
+            ckpt_lib.export_resnet18_encoder(enc_vars, path, opt=vars(cfg),
+                                             epoch=epoch)
+        return path
+
+    def save_orbax(self, epoch: int):
+        if self.cfg.orbax_dir:
+            ckpt_lib.save_train_state(self.cfg.orbax_dir, epoch, self.state)
+
+    def restore_orbax(self, step: Optional[int] = None):
+        restored = ckpt_lib.restore_train_state(self.cfg.orbax_dir, step,
+                                                template=self.state)
+        self.state = restored
+
+    # -- the loop -----------------------------------------------------------
+
+    def train_epoch(self, epoch: int, batch_iter) -> dict:
+        cfg = self.cfg
+        lr = float(cosine_lr(epoch, cfg.lr, cfg.epochs))
+        meters = {k: AverageMeter() for k in
+                  ("batch_time", "data_time", "cos_loss", "mg_loss",
+                   "local_loss", "loss")}
+        end = time.time()
+        metrics = None
+        for idx, batch in enumerate(batch_iter):
+            meters["data_time"].update(time.time() - end)
+            key = step_key(cfg.seed, self._global_step)
+            self.state, metrics = self._step_fn(
+                self.state, batch, key, jnp.float32(lr), jnp.int32(epoch))
+            self._global_step += 1
+            bsz = int(jax.tree.leaves(batch)[0].shape[0])
+            if (idx + 1) % cfg.log_every == 0:
+                # sync once per report, like the reference's
+                # torch.cuda.synchronize before timing (train_3d.py:157)
+                metrics = jax.device_get(metrics)
+                for k in ("cos_loss", "mg_loss", "local_loss", "loss"):
+                    meters[k].update(float(metrics[k]), bsz)
+                meters["batch_time"].update(
+                    (time.time() - end) / cfg.log_every)
+                self.logger.log({
+                    "epoch": epoch, "iter": idx + 1, "lr": lr,
+                    "BT": meters["batch_time"].avg,
+                    "DT": meters["data_time"].avg,
+                    "cos_loss": meters["cos_loss"].avg,
+                    "mg_loss": meters["mg_loss"].avg,
+                    "local_loss": meters["local_loss"].avg,
+                    "loss": meters["loss"].avg,
+                })
+                end = time.time()
+            else:
+                end = time.time()
+        return {k: m.avg for k, m in meters.items()}
+
+
+def run_training(model, cfg: TrainConfig, loader, aug_fn, dim: int,
+                 sample_batch, mesh=None, epochs: Optional[int] = None):
+    """Full pretraining run (reference epoch loop ``train_3d.py:60-83``)."""
+    trainer = Trainer(model, cfg, aug_fn, dim=dim, sample_batch=sample_batch,
+                      mesh=mesh)
+    if cfg.resume:
+        trainer.restore_orbax()
+    total = cfg.epochs if epochs is None else epochs
+    for epoch in range(0, total + 1):
+        print("==> training...")
+        t0 = time.time()
+        from pcrlv2_tpu.data.pipeline import device_prefetch
+
+        it = device_prefetch(loader.epoch(epoch), mesh=mesh)
+        stats = trainer.train_epoch(epoch, it)
+        print(f"epoch {epoch}, total time {time.time() - t0:.2f}")
+        if epoch % 100 == 0 or epoch == 240:
+            print("==> Saving...")
+            trainer.save_reference_ckpt(epoch)
+            trainer.save_orbax(epoch)
+    return trainer

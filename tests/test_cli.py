@@ -1,0 +1,111 @@
+"""CLI-surface tests: reference ``main.py`` flag parity, the experiment
+registry, and the ``luna_preprocess.py`` CLI end-to-end on a tiny MHD tree."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pcrlv2_tpu.cli.main import DataGenerator, build_parser
+
+
+def test_parser_reference_flags_and_defaults():
+    """All 16 reference flags parse (reference ``main.py:22-40``)."""
+    args = build_parser().parse_args([
+        "--data", "/tmp/x", "--model", "pcrlv2", "--phase", "pretask",
+        "--b", "32", "--epochs", "240", "--lr", "1e-3", "--output", "/tmp/o",
+        "--n", "luna", "--d", "3", "--workers", "4", "--gpus", "0,1,2,3",
+        "--ratio", "1.0", "--momentum", "0.9", "--weight_decay", "1e-4",
+        "--seed", "42", "--amp",
+    ])
+    assert args.b == 32 and args.epochs == 240 and args.lr == 1e-3
+    assert args.d == 3 and args.n == "luna" and args.amp is True
+    assert args.momentum == 0.9 and args.weight_decay == 1e-4  # typed floats
+
+
+def test_parser_defaults_match_reference():
+    args = build_parser().parse_args([])
+    assert args.model == "pcrlv2" and args.phase == "pretask"
+    assert args.b == 16 and args.epochs == 100 and args.seed == 42
+    assert args.amp is False
+
+
+def test_registry_names():
+    reg = DataGenerator.registry()
+    assert "pcrlv2_luna_pretask" in reg
+    assert "pcrlv2_chest_pretask" in reg
+
+
+def test_registry_unknown_experiment_is_loud():
+    args = build_parser().parse_args(["--data", "/tmp"])
+    with pytest.raises(SystemExit):
+        DataGenerator(args).build("pcrlv2_luna_nosuchphase")
+
+
+def test_luna_pretask_loader_from_synthetic_tree(tmp_path):
+    from pcrlv2_tpu.data.pipeline import write_synthetic_luna_tree
+
+    uids = write_synthetic_luna_tree(str(tmp_path), n_subsets=8,
+                                     uids_per_subset=2, pairs_per_uid=2)
+    listfile = tmp_path / "luna_train.txt"
+    listfile.write_text("\n".join(uids) + "\n")
+    args = build_parser().parse_args([
+        "--data", str(tmp_path), "--b", "4", "--ratio", "1.0",
+        "--train_list", str(listfile), "--workers", "2",
+    ])
+    loaders = DataGenerator(args).build("pcrlv2_luna_pretask")
+    batch = next(loaders["train"].epoch(0))
+    assert batch["pair"].shape == (4, 2, 64, 64, 32)
+    assert batch["locals"].shape == (4, 6, 16, 16, 16)
+    assert loaders["eval"] is not None
+
+
+def test_synthetic_loader_shapes():
+    from pcrlv2_tpu.cli.main import _synthetic_loader
+
+    args = build_parser().parse_args(["--b", "2", "--steps_per_epoch", "2"])
+    loaders = _synthetic_loader(args, dim=3)
+    batches = list(loaders["train"].epoch(0))
+    assert len(batches) == 2
+    assert batches[0]["pair"].shape == (2, 2, 64, 64, 32)
+    args2 = build_parser().parse_args(["--b", "2", "--steps_per_epoch", "1"])
+    b2 = next(_synthetic_loader(args2, dim=2)["train"].epoch(0))
+    assert b2["image"].shape == (2, 512, 512, 3)
+
+
+def _fake_luna_tree(root: str, n_subsets=1):
+    """Tiny LUNA-like MHD tree: anisotropic int16 volumes."""
+    rng = np.random.RandomState(0)
+    for s in range(n_subsets):
+        d = os.path.join(root, f"subset{s}")
+        os.makedirs(d, exist_ok=True)
+        # (z, y, x) int16, spacing chosen so the 1mm volume is croppable:
+        # z: 60·2 = 120, y/x: 170·1.5 = 255
+        arr = (rng.rand(60, 170, 170) * 600 - 900).astype(np.int16)
+        raw = os.path.join(d, "1.3.6.1.4.1.fake.raw")
+        arr.tofile(raw)
+        with open(os.path.join(d, "1.3.6.1.4.1.fake.mhd"), "w") as f:
+            f.write(
+                "ObjectType = Image\nNDims = 3\n"
+                "DimSize = 170 170 60\n"
+                "ElementSpacing = 1.5 1.5 2.0\n"
+                "ElementType = MET_SHORT\n"
+                "ElementDataFile = 1.3.6.1.4.1.fake.raw\n")
+
+
+def test_luna_preprocess_cli_end_to_end(tmp_path):
+    import luna_preprocess
+
+    data = tmp_path / "raw"
+    save = tmp_path / "processed"
+    _fake_luna_tree(str(data))
+    luna_preprocess.main([
+        "--fold", "0", "--data", str(data), "--save", str(save),
+        "--scale", "2", "--procs", "1",
+    ])
+    out = sorted(os.listdir(save / "subset0"))
+    assert "1.3.6.1.4.1.fake_global_0.npy" in out
+    assert "1.3.6.1.4.1.fake_local_1.npy" in out
+    g = np.load(save / "subset0" / "1.3.6.1.4.1.fake_global_0.npy")
+    assert g.shape == (2, 64, 64, 32)
+    assert g.min() >= 0.0 and g.max() <= 1.0

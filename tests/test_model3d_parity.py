@@ -1,0 +1,125 @@
+"""Fixed-weight forward parity: our Flax PCRLv23d vs the PyTorch reference.
+
+The reference model file (``/root/reference/models/pcrlv2_model_3d.py``) is
+imported as the golden oracle (it depends only on torch).  Weights transfer
+through the checkpoint interop shim, so this test pins both the architecture
+and the torch↔flax mapping at once.  Skipped if the reference tree is absent.
+"""
+
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from pcrlv2_tpu.core.precision import PARITY_POLICY
+from pcrlv2_tpu.models import PCRLv23d
+from pcrlv2_tpu.train.checkpoint import (
+    flax_to_torch_state,
+    pcrlv23d_mapping,
+    torch_state_to_flax,
+)
+
+REF = "/root/reference/models/pcrlv2_model_3d.py"
+
+pytestmark = pytest.mark.skipif(not os.path.exists(REF),
+                                reason="reference tree not mounted")
+
+
+def _load_reference_module():
+    spec = importlib.util.spec_from_file_location("ref_pcrlv2_model_3d", REF)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def torch_model():
+    torch.manual_seed(0)
+    mod = _load_reference_module()
+    model = mod.PCRLv23d()
+    model.train()
+    return model
+
+
+@pytest.fixture(scope="module")
+def flax_setup(torch_model):
+    model = PCRLv23d(policy=PARITY_POLICY)
+    variables = torch_state_to_flax(torch_model.state_dict(), pcrlv23d_mapping())
+    return model, variables
+
+
+def test_param_count_matches(torch_model):
+    n_torch = sum(p.numel() for p in torch_model.parameters())
+    model = PCRLv23d(policy=PARITY_POLICY)
+    # eval_shape: no compute, no eager per-op compilation
+    v = jax.eval_shape(lambda k: model.init(k, jnp.zeros((1, 16, 16, 16, 1)),
+                                            train=True), jax.random.key(0))
+    n_flax = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(v["params"]))
+    assert n_flax == n_torch
+
+
+def test_mapping_covers_all_torch_params(torch_model):
+    sd = torch_model.state_dict()
+    mapped = {k for k, _, _ in pcrlv23d_mapping()}
+    missing = {k for k in sd if k not in mapped
+               and not k.endswith("num_batches_tracked")}
+    assert not missing, f"unmapped torch keys: {sorted(missing)[:10]}"
+
+
+@pytest.mark.parametrize("local", [False, True])
+def test_forward_parity(torch_model, flax_setup, local):
+    model, variables = flax_setup
+    rng = np.random.RandomState(42)
+    shape = (2, 16, 16, 16) if local else (2, 32, 32, 16)
+    x = rng.rand(*shape).astype(np.float32)
+
+    with torch.no_grad():
+        t_out, t_feats, t_masks = torch_model(
+            torch.from_numpy(x).unsqueeze(1), local=local)
+
+    # jit: one compiled program (eager per-op dispatch on CPU compiles each
+    # op separately and takes minutes at this size)
+    fwd = jax.jit(lambda v, x: model.apply(v, x, local=local, train=True,
+                                           mutable=["batch_stats"]))
+    (f_out, f_feats, f_masks), _ = fwd(variables, jnp.asarray(x[..., None]))
+
+    np.testing.assert_allclose(
+        np.asarray(f_out)[..., 0], t_out.squeeze(1).numpy(), rtol=1e-3, atol=1e-4)
+    assert len(f_feats) == len(t_feats) == 3
+    # pro/pre sit behind train-mode BatchNorms normalizing over a batch of 2:
+    # (x−μ)/σ with a tiny cross-sample σ amplifies f32 accumulation-order
+    # differences between XLA and torch (observed worst case ~1e-2 relative).
+    # The restoration masks above — the actual training signal path — match
+    # at rtol 1e-3.
+    for (f_pro, f_pre), (t_pro, t_pre) in zip(f_feats, t_feats):
+        np.testing.assert_allclose(np.asarray(f_pro), t_pro.numpy(),
+                                   rtol=3e-2, atol=6e-3)
+        np.testing.assert_allclose(np.asarray(f_pre), t_pre.numpy(),
+                                   rtol=3e-2, atol=6e-3)
+    assert len(f_masks) == len(t_masks) == (0 if local else 3)
+    for f_m, t_m in zip(f_masks, t_masks):
+        np.testing.assert_allclose(
+            np.asarray(f_m)[..., 0], t_m.squeeze(1).numpy(), rtol=1e-3, atol=1e-4)
+
+
+def test_checkpoint_roundtrip(torch_model):
+    """flax → torch state_dict → flax is the identity.
+
+    Uses a fresh snapshot of the torch state (not the module-scoped fixture):
+    the forward-parity tests above mutate BN running statistics in place.
+    """
+    variables = torch_state_to_flax(torch_model.state_dict(),
+                                    pcrlv23d_mapping())
+    sd = flax_to_torch_state(variables, pcrlv23d_mapping())
+    back = torch_state_to_flax(sd, pcrlv23d_mapping())
+    for a, b in zip(jax.tree.leaves(variables), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and matches the original torch tensors bit-exactly
+    ref_sd = torch_model.state_dict()
+    for k, v in sd.items():
+        np.testing.assert_array_equal(v, ref_sd[k].numpy())

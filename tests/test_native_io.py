@@ -1,0 +1,87 @@
+"""Native C++ data-plane tests (``native/pcrl_io.cpp`` via ctypes) and the
+batch-read integration in the host pipeline."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pcrlv2_tpu import native
+
+
+def _write_npys(tmp_path, n=6, shape=(2, 8, 8, 4), seed=0):
+    rng = np.random.RandomState(seed)
+    paths, arrays = [], []
+    for i in range(n):
+        a = rng.rand(*shape).astype(np.float32)
+        p = str(tmp_path / f"x_global_{i}.npy")
+        np.save(p, a)
+        paths.append(p)
+        arrays.append(a)
+    return paths, arrays
+
+
+def test_read_npy_float32_exact(tmp_path):
+    paths, arrays = _write_npys(tmp_path, n=1)
+    out = native.read_npy(paths[0], count=arrays[0].size)
+    np.testing.assert_array_equal(out, arrays[0].reshape(-1))
+
+
+def test_read_npy_converts_float64(tmp_path):
+    p = str(tmp_path / "d.npy")
+    np.save(p, np.linspace(0, 1, 100, dtype=np.float64))
+    out = native.read_npy(p, count=100)
+    np.testing.assert_allclose(out, np.linspace(0, 1, 100, dtype=np.float32),
+                               rtol=1e-7)
+
+
+def test_read_npy_converts_int16(tmp_path):
+    p = str(tmp_path / "h.npy")
+    np.save(p, np.array([-1000, 0, 999], np.int16))
+    out = native.read_npy(p, count=3)
+    np.testing.assert_array_equal(out, [-1000.0, 0.0, 999.0])
+
+
+def test_read_batch_matches_numpy(tmp_path):
+    paths, arrays = _write_npys(tmp_path, n=6)
+    out = np.empty((6, 2, 8, 8, 4), np.float32)
+    native.read_batch(paths, out, n_threads=4)
+    for i in range(6):
+        np.testing.assert_array_equal(out[i], arrays[i])
+
+
+def test_read_batch_wrong_size_errors(tmp_path):
+    if not native.available():
+        pytest.skip("native library unavailable (fallback has no size check)")
+    paths, _ = _write_npys(tmp_path, n=2)
+    np.save(paths[1], np.zeros((3, 3), np.float32))  # wrong element count
+    out = np.empty((2, 2, 8, 8, 4), np.float32)
+    with pytest.raises(IOError):
+        native.read_batch(paths, out)
+
+
+def test_luna_batch_reader_in_host_loader(tmp_path):
+    from pcrlv2_tpu.data.pipeline import HostLoader, LunaBatchReader, load_luna_sample
+
+    rng = np.random.RandomState(1)
+    paths = []
+    for i in range(8):
+        g = str(tmp_path / f"1.2.3_global_{i}.npy")
+        np.save(g, rng.rand(2, 16, 16, 8).astype(np.float32))
+        np.save(str(tmp_path / f"1.2.3_local_{i}.npy"),
+                rng.rand(6, 8, 8, 8).astype(np.float32))
+        paths.append(g)
+    reader = LunaBatchReader(4, pair_shape=(2, 16, 16, 8),
+                             local_shape=(6, 8, 8, 8), n_threads=2)
+    loader = HostLoader(paths, 4, load_luna_sample, shuffle=True, seed=0,
+                        batch_read_fn=reader)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2
+    assert batches[0]["pair"].shape == (4, 2, 16, 16, 8)
+    assert batches[0]["locals"].shape == (4, 6, 8, 8, 8)
+    # batch-level reads must agree with the per-sample path
+    plain = HostLoader(paths, 4, load_luna_sample, shuffle=True, seed=0)
+    plain_batches = list(plain.epoch(0))
+    np.testing.assert_array_equal(batches[0]["pair"], plain_batches[0]["pair"])
+    np.testing.assert_array_equal(batches[1]["locals"],
+                                  plain_batches[1]["locals"])

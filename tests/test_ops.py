@@ -1,0 +1,138 @@
+"""Numerics tests for ops vs the torch ops the reference uses.
+
+Torch (CPU build) is available in the image and serves as the golden
+implementation of cuDNN semantics; every op the models rely on is pinned here
+(SURVEY.md §4 test strategy).
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from pcrlv2_tpu import ops
+
+RTOL, ATOL = 1e-4, 1e-5
+
+
+def _np(x):
+    return np.asarray(x, dtype=np.float32)
+
+
+class TestConv3d:
+    @pytest.mark.parametrize("cin,cout,k", [(3, 8, 3), (8, 4, 1)])
+    def test_matches_torch(self, cin, cout, k):
+        rng = np.random.RandomState(0)
+        x = rng.randn(2, 6, 6, 4, cin).astype(np.float32)  # NDHWC
+        w = rng.randn(k, k, k, cin, cout).astype(np.float32)  # DHWIO
+        b = rng.randn(cout).astype(np.float32)
+
+        got = _np(ops.conv3d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b)))
+
+        tx = torch.from_numpy(x).permute(0, 4, 1, 2, 3)  # NCDHW
+        tw = torch.from_numpy(w).permute(4, 3, 0, 1, 2)  # OIDHW
+        ref = F.conv3d(tx, tw, torch.from_numpy(b), padding=k // 2)
+        ref = ref.permute(0, 2, 3, 4, 1).numpy()
+        np.testing.assert_allclose(got, ref, rtol=RTOL, atol=ATOL)
+
+
+class TestConv2d:
+    @pytest.mark.parametrize("k,stride", [(3, 1), (1, 1), (3, 2), (7, 2)])
+    def test_matches_torch(self, k, stride):
+        rng = np.random.RandomState(1)
+        x = rng.randn(2, 16, 16, 5).astype(np.float32)
+        w = rng.randn(k, k, 5, 7).astype(np.float32)
+
+        got = _np(ops.conv2d(jnp.asarray(x), jnp.asarray(w), stride=stride))
+
+        tx = torch.from_numpy(x).permute(0, 3, 1, 2)
+        tw = torch.from_numpy(w).permute(3, 2, 0, 1)
+        ref = F.conv2d(tx, tw, stride=stride, padding=k // 2)
+        ref = ref.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, ref, rtol=RTOL, atol=ATOL)
+
+
+class TestConvTranspose3d:
+    def test_k2s2_matches_torch(self):
+        """The reference's only transpose conv: k=2, s=2 (pcrlv2_model_3d.py:52)."""
+        rng = np.random.RandomState(2)
+        x = rng.randn(2, 4, 4, 3, 6).astype(np.float32)
+        w = rng.randn(2, 2, 2, 6, 5).astype(np.float32)  # DHWIO
+        b = rng.randn(5).astype(np.float32)
+
+        got = _np(ops.conv_transpose3d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b)))
+
+        tx = torch.from_numpy(x).permute(0, 4, 1, 2, 3)
+        tw = torch.from_numpy(w).permute(3, 4, 0, 1, 2)  # (Ci, Co, kd, kh, kw)
+        ref = F.conv_transpose3d(tx, tw, torch.from_numpy(b), stride=2)
+        ref = ref.permute(0, 2, 3, 4, 1).numpy()
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=RTOL, atol=ATOL)
+
+    def test_k3s2_general_path(self):
+        rng = np.random.RandomState(3)
+        x = rng.randn(1, 4, 4, 4, 3).astype(np.float32)
+        w = rng.randn(3, 3, 3, 3, 2).astype(np.float32)
+
+        got = _np(ops.conv_transpose3d(jnp.asarray(x), jnp.asarray(w), stride=2))
+
+        tx = torch.from_numpy(x).permute(0, 4, 1, 2, 3)
+        tw = torch.from_numpy(w).permute(3, 4, 0, 1, 2)
+        ref = F.conv_transpose3d(tx, tw, stride=2)
+        ref = ref.permute(0, 2, 3, 4, 1).numpy()
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=RTOL, atol=ATOL)
+
+
+class TestPooling:
+    def test_max_pool3d(self):
+        rng = np.random.RandomState(4)
+        x = rng.randn(2, 8, 8, 4, 3).astype(np.float32)
+        got = _np(ops.max_pool3d(jnp.asarray(x)))
+        tx = torch.from_numpy(x).permute(0, 4, 1, 2, 3)
+        ref = F.max_pool3d(tx, 2).permute(0, 2, 3, 4, 1).numpy()
+        np.testing.assert_allclose(got, ref, rtol=RTOL, atol=ATOL)
+
+    def test_global_avg_pool(self):
+        rng = np.random.RandomState(5)
+        x = rng.randn(2, 8, 8, 4, 3).astype(np.float32)
+        got = _np(ops.global_avg_pool(jnp.asarray(x)))
+        tx = torch.from_numpy(x).permute(0, 4, 1, 2, 3)
+        ref = F.adaptive_avg_pool3d(tx, 1).flatten(1).numpy()
+        np.testing.assert_allclose(got, ref, rtol=RTOL, atol=ATOL)
+
+
+class TestResize:
+    def test_nearest2x_2d(self):
+        rng = np.random.RandomState(6)
+        x = rng.randn(2, 7, 7, 3).astype(np.float32)
+        got = _np(ops.upsample_nearest2x_2d(jnp.asarray(x)))
+        tx = torch.from_numpy(x).permute(0, 3, 1, 2)
+        ref = F.interpolate(tx, scale_factor=2, mode="nearest")
+        ref = ref.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, ref, rtol=RTOL, atol=ATOL)
+
+    @pytest.mark.parametrize("scale", [2, 4])
+    def test_trilinear(self, scale):
+        """Matches torch trilinear align_corners=False (pcrlv2_model_3d.py:125-126)."""
+        rng = np.random.RandomState(7)
+        x = rng.randn(2, 4, 4, 2, 3).astype(np.float32)
+        got = _np(ops.upsample_linear(jnp.asarray(x), scale))
+        tx = torch.from_numpy(x).permute(0, 4, 1, 2, 3)
+        ref = F.interpolate(tx, scale_factor=scale, mode="trilinear",
+                            align_corners=False)
+        ref = ref.permute(0, 2, 3, 4, 1).numpy()
+        np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+
+    def test_bilinear(self):
+        """Matches torch bilinear align_corners=False (pcrlv2_model.py:192)."""
+        rng = np.random.RandomState(8)
+        x = rng.randn(2, 7, 7, 3).astype(np.float32)
+        got = _np(ops.upsample_linear(jnp.asarray(x), 4))
+        tx = torch.from_numpy(x).permute(0, 3, 1, 2)
+        ref = F.interpolate(tx, scale_factor=4, mode="bilinear",
+                            align_corners=False)
+        ref = ref.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
