@@ -51,8 +51,11 @@ def main():
     sample = jnp.zeros((BATCH, 64, 64, 32, 1), jnp.float32)
     state = create_train_state(model, tx, jax.random.key(0), sample)
 
+    # aug as its own jitted program: fusing it into the grad program makes
+    # XLA schedule it ~40x slower (1613 vs 690 ms/step measured on v5e)
+    aug = jax.jit(make_luna_aug_fn())
     step = jax.jit(
-        make_train_step(model, tx, dim=3, aug_fn=make_luna_aug_fn()),
+        make_train_step(model, tx, dim=3, aug_fn=None),
         donate_argnums=(0,),
     )
 
@@ -61,16 +64,23 @@ def main():
     lr = jnp.float32(1e-3)
     epoch = jnp.int32(0)
 
+    def sync(x):
+        # device_get forces execution; block_until_ready returns early on the
+        # tunneled axon backend and reports async-dispatch throughput
+        return jax.device_get(jax.tree.leaves(x)[0].ravel()[0:1])
+
     for i in range(WARMUP):
-        state, metrics = step(state, batch, jax.random.key(i), lr, epoch)
-    jax.block_until_ready(state.params)
+        views = aug(jax.random.key(1000 + i), batch)
+        state, metrics = step(state, views, jax.random.key(i), lr, epoch)
+    sync(metrics)
+    sync(state.params)
 
     t0 = time.perf_counter()
     for i in range(STEPS):
-        state, metrics = step(state, batch, jax.random.key(100 + i), lr, epoch)
-    # block on metrics too: on some PJRT backends params report ready while
-    # the step's side outputs are still in flight
-    jax.block_until_ready((state.params, metrics))
+        views = aug(jax.random.key(2000 + i), batch)
+        state, metrics = step(state, views, jax.random.key(100 + i), lr, epoch)
+    sync(metrics)
+    sync(state.params)
     dt = time.perf_counter() - t0
 
     vols_per_sec = BATCH * STEPS / dt

@@ -70,8 +70,12 @@ class Trainer:
         self.state = create_train_state(
             self.model, self.tx, jax.random.key(cfg.seed), sample_batch)
         loss_guard = 1000.0 if dim == 3 else None  # train_3d.py:140 only
+        # The augmentation runs as its own jitted program feeding the step:
+        # fusing it into the grad program makes XLA schedule it ~40× slower
+        # (measured 1613 ms vs 690 ms per step at b=32 on v5e).
+        self._aug_fn = jax.jit(aug_fn) if aug_fn is not None else None
         self._step_fn = jax.jit(
-            make_train_step(self.model, self.tx, dim=dim, aug_fn=aug_fn,
+            make_train_step(self.model, self.tx, dim=dim, aug_fn=None,
                             loss_guard=loss_guard, mixup_alpha=cfg.mixup),
             donate_argnums=(0,),
         )
@@ -119,6 +123,9 @@ class Trainer:
         for idx, batch in enumerate(batch_iter):
             meters["data_time"].update(time.time() - end)
             key = step_key(cfg.seed, self._global_step)
+            if self._aug_fn is not None:
+                kaug = step_key(cfg.seed, self._global_step, 1)
+                batch = self._aug_fn(kaug, batch)
             self.state, metrics = self._step_fn(
                 self.state, batch, key, jnp.float32(lr), jnp.int32(epoch))
             self._global_step += 1

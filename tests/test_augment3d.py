@@ -66,6 +66,42 @@ class TestSpatial:
                                    rtol=1e-3, atol=1e-3)
 
 
+    def test_affine_shear_matches_exact_in_center(self):
+        """The MXU shear-decomposition path agrees with the gather-based
+        trilinear path away from the boundary-fill zones (both drive the same
+        sampled transform; see _affine_shear's documented tolerance)."""
+        X, Y, Z = 32, 32, 16
+        gi, gy, gz = np.meshgrid(np.arange(X), np.arange(Y), np.arange(Z),
+                                 indexing="ij")
+        smooth = jnp.asarray(
+            ((np.sin(6 * gi / X) * np.cos(5 * gy / Y) * np.sin(4 * gz / Z))
+             + 1).astype(np.float32) / 2)
+        for seed in range(3):
+            k = jax.random.key(seed)
+            a = A.random_affine(k, smooth, impl="shear")
+            b = A.random_affine(k, smooth, impl="exact")
+            ctr = (slice(8, 24), slice(8, 24), slice(4, 12))
+            d = np.abs(np.asarray(a) - np.asarray(b))[ctr]
+            # ~1e-2 on O(1) signal at this small volume (boundary effects
+            # reach further relative to a 32³ extent than the 64³ training
+            # crops, where the central agreement is ~3e-3)
+            assert d.max() < 2e-2, f"seed {seed}: central max diff {d.max()}"
+
+    def test_affine_shear_rotation_geometry(self):
+        """A pure z-rotation by the shear path moves a point feature to where
+        the exact path moves it (geometry, not just smoothness)."""
+        x = np.zeros((17, 17, 9), np.float32)
+        x[12, 8, 4] = 1.0  # off-center spike
+        minv = np.eye(3, dtype=np.float32)
+        th = np.deg2rad(10.0)
+        minv[:2, :2] = [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]]
+        a = np.asarray(A._affine_shear(jnp.asarray(x), jnp.asarray(minv)))
+        b = np.asarray(A._affine_exact(jnp.asarray(x), jnp.asarray(minv)))
+        pa = np.unravel_index(np.argmax(a), a.shape)
+        pb = np.unravel_index(np.argmax(b), b.shape)
+        assert pa == pb, f"peak moved to {pa}, exact says {pb}"
+
+
 class TestIntensity:
     def test_blur_zero_sigma_is_identity(self):
         x = vol(3)
