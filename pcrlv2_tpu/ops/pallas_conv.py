@@ -23,6 +23,21 @@ north-star Pallas target.  Design:
 XLA's native conv remains the default path (``ops.convolution``); this kernel
 is selected per-shape via ``ops.conv_impl`` / the ``PCRL_CONV3D`` env var, and
 both paths are numerics-tested against each other (``tests/test_pallas_conv.py``).
+
+Measured verdict (v5e, b=32, bf16; see BENCHMARKS.md): correct fwd+bwd on
+hardware, 0.4–0.95× XLA's conv across the model's shapes — XLA stays the
+default.  The gap is (a) channel padding to the 128-lane tile for manual DMA
+alignment (4× HBM read amplification at Ci=32) and (b) no DMA/compute
+double-buffering yet; the kernel is the foundation for fused conv+BN+act
+variants where XLA cannot fuse.
+
+Hardware lowering notes (all empirically verified on v5e):
+* manual HBM→VMEM DMA slices must be tile-aligned — 8 sublanes on the
+  second-to-minor dim, 128 lanes on the minor dim (hence the W/Ci padding);
+* value-level ``lax.dynamic_slice`` has no Mosaic lowering — dynamic windows
+  use ``lax.switch`` over static slices;
+* ``pltpu.roll`` mis-lowers dynamic shifts on 3D values / tall 2D shapes
+  (returns data offset by whole tiles) — avoided entirely.
 """
 
 from __future__ import annotations
@@ -39,81 +54,101 @@ from jax.experimental.pallas import tpu as pltpu
 K = 3  # kernel edge — the only 3D conv size the models use
 
 
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
 def _co_tile(ci: int, co: int, h: int, w: int, in_bytes: int) -> int:
     """Pick a Co tile keeping weights + slab + accumulator well under VMEM."""
     budget = 10 * 1024 * 1024
-    slab = 3 * (h + 2) * (w + 2) * ci * in_bytes
+    slab = 3 * (h + 2) * _round_up(w + 2, 8) * ci * in_bytes
     for tile in (co, 256, 128, 64, 32, 16, 8):
         if tile > co or co % tile:
             continue
         weights = 27 * ci * tile * in_bytes
-        acc = h * w * tile * 4
+        acc = h * _round_up(w + 2, 8) * tile * 4
         if slab + weights + 2 * acc <= budget:
             return tile
     return min(co, 8)
 
 
 def _fwd_kernel(x_hbm, w_ref, b_ref, out_ref, slab, acc, sem):
-    """One (batch, depth, co-tile) program of the 27-tap forward conv."""
+    """One (batch, depth, co-tile) program of the 27-tap forward conv.
+
+    W is padded to the 8-sublane tile (Mosaic requires DMA slice shapes
+    aligned on the second-to-minor dim); pad columns carry zeros and the
+    corresponding output columns are sliced off by the caller.
+    """
     b = pl.program_id(0)
     d = pl.program_id(1)
-    h_out, w_out = out_ref.shape[2], out_ref.shape[3]
+    h_out, wp = out_ref.shape[2], out_ref.shape[3]
 
     cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(d, 3)], slab, sem)
     cp.start()
     cp.wait()
 
     acc[...] = jnp.broadcast_to(
-        b_ref[0].astype(jnp.float32), (h_out * w_out, b_ref.shape[1]))
+        b_ref[0].astype(jnp.float32), (h_out * wp, b_ref.shape[1]))
     for td in range(K):
         for th in range(K):
             for tw in range(K):
-                window = slab[td, th:th + h_out, tw:tw + w_out, :]
-                lhs = window.reshape(h_out * w_out, slab.shape[-1])
+                window = slab[td, th:th + h_out, tw:tw + wp, :]
+                lhs = window.reshape(h_out * wp, slab.shape[-1])
                 tap = td * 9 + th * 3 + tw
                 acc[...] += jnp.dot(lhs, w_ref[tap],
                                     preferred_element_type=jnp.float32)
     out_ref[0, 0] = acc[...].reshape(
-        h_out, w_out, out_ref.shape[-1]).astype(out_ref.dtype)
+        h_out, wp, out_ref.shape[-1]).astype(out_ref.dtype)
 
 
 def _conv3d_fwd(x: jax.Array, w: jax.Array, bias: jax.Array) -> jax.Array:
-    """SAME 3³ conv, x (B, D, H, W, Ci) NDHWC, w (3, 3, 3, Ci, Co)."""
+    """SAME 3³ conv, x (B, D, H, W, Ci) NDHWC, w (3, 3, 3, Ci, Co).
+
+    Manual HBM→VMEM DMAs must be tile-aligned: W (second-to-minor) to the
+    8-sublane tile, Ci (minor) to the 128-lane tile.  Both pads carry zeros —
+    free on the MXU, whose systolic array is 128 deep regardless of K.
+    """
     bsz, d, h, wd, ci = x.shape
     co = w.shape[-1]
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
-    wmat = w.astype(x.dtype).reshape(27, ci, co)
-    tile = _co_tile(ci, co, h, wd, x.dtype.itemsize)
+    wp = _round_up(wd, 8)
+    ws = _round_up(wp + 2, 8)
+    cip = _round_up(ci, 128)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, ws - 1 - wd),
+                     (0, cip - ci)))
+    wmat = jnp.pad(w.astype(x.dtype), ((0, 0),) * 3 + ((0, cip - ci), (0, 0))
+                   ).reshape(27, cip, co)
+    tile = _co_tile(cip, co, h, wp, x.dtype.itemsize)
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _fwd_kernel,
         grid=(bsz, d, co // tile),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # padded x stays in HBM
-            pl.BlockSpec((27, ci, tile), lambda b, i, j: (0, 0, j),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # padded x stays in HBM
+            pl.BlockSpec((27, cip, tile), lambda b, i, j: (0, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda b, i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, h, wd, tile),
+        out_specs=pl.BlockSpec((1, 1, h, wp, tile),
                                lambda b, i, j: (b, i, 0, 0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, d, h, wd, co), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, d, h, wp, co), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((3, h + 2, wd + 2, ci), x.dtype),
-            pltpu.VMEM((h * wd, tile), jnp.float32),
+            pltpu.VMEM((3, h + 2, ws, cip), x.dtype),
+            pltpu.VMEM((h * wp, tile), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * bsz * d * h * wd * 27 * ci * co,
+            flops=2 * bsz * d * h * wp * 27 * ci * co,
             bytes_accessed=(xp.size + w.size) * x.dtype.itemsize
-            + bsz * d * h * wd * co * x.dtype.itemsize,
+            + bsz * d * h * wp * co * x.dtype.itemsize,
             transcendentals=0,
         ),
     )(xp, wmat, bias.astype(x.dtype).reshape(1, co))
+    return out[:, :, :, :wd, :]
 
 
 def _dw_kernel(xpad_hbm, g_hbm, dw_ref, xslab, gslab, acc, sems):
@@ -129,7 +164,7 @@ def _dw_kernel(xpad_hbm, g_hbm, dw_ref, xslab, gslab, acc, sems):
     td = t // 9
     th = (t // 3) % 3
     tw = t % 3
-    h_out, w_out = gslab.shape[1], gslab.shape[2]
+    h_out, w_out = gslab.shape[1], gslab.shape[2]  # w_out is the padded width
 
     cx = pltpu.make_async_copy(xpad_hbm.at[b, pl.ds(d + td, 1)], xslab,
                                sems.at[0])
@@ -143,9 +178,23 @@ def _dw_kernel(xpad_hbm, g_hbm, dw_ref, xslab, gslab, acc, sems):
     def _():
         acc[...] = jnp.zeros_like(acc)
 
-    window = jax.lax.dynamic_slice(
-        xslab[0], (th, tw, 0), (h_out, w_out, xslab.shape[-1]))
-    lhs = window.reshape(h_out * w_out, xslab.shape[-1])
+    # (th, tw) window via lax.switch over the 9 static slices.  Dynamic
+    # alternatives are unavailable here: value-level dynamic_slice has no
+    # Mosaic lowering, and pltpu.roll mis-lowers dynamic shifts at these
+    # shapes (verified empirically: axis-0 rolls of 3D values and rolls of
+    # (160, 128) return data offset by whole tiles).
+    cip = xslab.shape[3]
+
+    def mk_branch(th_s, tw_s):
+        def branch(v):
+            return v[th_s:th_s + h_out, tw_s:tw_s + w_out, :]
+        return branch
+
+    window = jax.lax.switch(
+        th * 3 + tw,
+        [mk_branch(a, c) for a in range(3) for c in range(3)],
+        xslab[0])
+    lhs = window.reshape(h_out * w_out, cip)
     rhs = gslab[0].reshape(h_out * w_out, gslab.shape[-1])
     acc[...] += jax.lax.dot_general(
         lhs, rhs, (((0,), (0,)), ((), ())),
@@ -158,25 +207,35 @@ def _dw_kernel(xpad_hbm, g_hbm, dw_ref, xslab, gslab, acc, sems):
 
 
 def _conv3d_dw(x: jax.Array, g: jax.Array) -> jax.Array:
-    """Filter gradient: x (B,D,H,W,Ci), g (B,D,H,W,Co) → (3,3,3,Ci,Co) f32."""
+    """Filter gradient: x (B,D,H,W,Ci), g (B,D,H,W,Co) → (3,3,3,Ci,Co) f32.
+
+    W padded to the 8-sublane tile on both operands (alignment, see
+    ``_conv3d_fwd``); padded g columns are zero so they add nothing.
+    """
     bsz, d, h, wd, ci = x.shape
     co = g.shape[-1]
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    wp = _round_up(wd, 8)
+    ws = _round_up(wp + 2, 8)
+    cip = _round_up(ci, 128)
+    cop = _round_up(co, 128)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, ws - 1 - wd),
+                     (0, cip - ci)))
+    g = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, wp - wd), (0, cop - co)))
 
     dw = pl.pallas_call(
         _dw_kernel,
         grid=(27, bsz, d),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((1, ci, co), lambda t, b, i: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, cip, cop), lambda t, b, i: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((27, ci, co), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((27, cip, cop), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((1, h + 2, wd + 2, ci), x.dtype),
-            pltpu.VMEM((1, h, wd, co), g.dtype),
-            pltpu.VMEM((ci, co), jnp.float32),
+            pltpu.VMEM((1, h + 2, ws, cip), x.dtype),
+            pltpu.VMEM((1, h, wp, cop), g.dtype),
+            pltpu.VMEM((cip, cop), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -188,7 +247,7 @@ def _conv3d_dw(x: jax.Array, g: jax.Array) -> jax.Array:
             transcendentals=0,
         ),
     )(xp, g)
-    return dw.reshape(3, 3, 3, ci, co)
+    return dw[:, :ci, :co].reshape(3, 3, 3, ci, co)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
