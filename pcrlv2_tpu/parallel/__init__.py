@@ -1,0 +1,12 @@
+"""Parallelism beyond data-parallel: spatial (volume-depth) sharding.
+
+The reference has no model/sequence parallelism at all (SURVEY.md §2.3); the
+closest analog of long-context scaling for this 3D-CNN workload is sharding
+the volume's depth axis across chips with halo-exchanged convolutions.
+"""
+
+from pcrlv2_tpu.parallel.spatial import (  # noqa: F401
+    conv3d_spatial,
+    global_avg_pool_spatial,
+    max_pool3d_spatial,
+)
