@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="UID / image list file")
     parser.add_argument("--steps_per_epoch", default=None, type=int,
                         help="cap batches per epoch (smoke runs)")
+    parser.add_argument("--eval_every", default=0, type=int,
+                        help="epochs between eval-loss passes (0 = off; the "
+                             "reference builds an eval loader it never uses)")
+    parser.add_argument("--profile_dir", default=None,
+                        help="write a jax.profiler trace here")
     parser.add_argument("--synthetic", action="store_true", default=False,
                         help="train on synthetic data (no dataset needed)")
     return parser
@@ -216,6 +221,7 @@ def main(argv=None) -> None:
         seed=args.seed, amp=args.amp, workers=args.workers,
         mixup=args.mixup, resume=args.resume,
         orbax_dir=os.path.join(os.path.abspath(args.output), "orbax"),
+        profile_dir=args.profile_dir, eval_every=args.eval_every,
     )
 
     policy = DEFAULT_POLICY if args.amp else PARITY_POLICY
@@ -242,7 +248,8 @@ def main(argv=None) -> None:
         else:
             raise SystemExit(f"unsupported --d {args.d}")
         run_training(model, cfg, loaders["train"], aug_fn, dim=args.d,
-                     sample_batch=sample, mesh=mesh)
+                     sample_batch=sample, mesh=mesh,
+                     eval_loader=loaders.get("eval"))
     else:
         # reference behavior: any other combination silently does nothing
         # after building the dataloader (main.py:47-50) — be loud instead.

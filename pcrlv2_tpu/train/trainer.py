@@ -52,6 +52,8 @@ class TrainConfig:
     resume: Optional[str] = None
     log_every: int = 10
     orbax_dir: Optional[str] = None
+    profile_dir: Optional[str] = None  # jax.profiler trace output (opt-in)
+    eval_every: int = 0  # epochs between eval passes; 0 disables
 
     def ckpt_name(self, epoch: int) -> str:
         return (f"{self.model}_{self.n}_{self.phase}_{self.ratio}_{epoch}.pt")
@@ -83,6 +85,62 @@ class Trainer:
             os.path.join(cfg.output, "metrics.jsonl")
             if os.path.isdir(cfg.output) else None)
         self._global_step = 0
+        self._eval_fn = None
+
+    # -- evaluation ----------------------------------------------------------
+
+    def _build_eval_fn(self):
+        """Jitted eval: the same 4-term loss on un-corrupted views, no update.
+
+        Fills the reference's gap — its eval DataLoader is built but would
+        crash if iterated (``transform=None`` yet ``__getitem__`` applies it,
+        reference ``lunaDataset.py:37``, ``data.py:59``).
+        """
+        from pcrlv2_tpu.train.step import make_train_step
+
+        loss_only = make_train_step(self.model, self.tx, dim=self.dim,
+                                    aug_fn=None, loss_guard=None)
+
+        def eval_step(state, views, key):
+            # run the step against a throwaway state copy: metrics without
+            # mutating params/stats (donation not used here)
+            _, metrics = loss_only(state, views, key, jnp.float32(0.0),
+                                   jnp.int32(0))
+            return metrics
+
+        return jax.jit(eval_step)
+
+    @staticmethod
+    def raw_batch_to_views(batch, dim: int):
+        """Un-augmented eval views from a raw batch (identity restoration)."""
+        if dim == 3:
+            pair = jnp.asarray(batch["pair"], jnp.float32)
+            locals_ = jnp.asarray(batch["locals"], jnp.float32)
+            return {
+                "x1": pair[:, 0][..., None],
+                "x2": pair[:, 1][..., None],
+                "gt": pair[:, 0][..., None],
+                "gt2": pair[:, 1][..., None],
+                "locals": locals_[..., None],
+            }
+        raise NotImplementedError("2D eval uses the aug_fn views directly")
+
+    def evaluate(self, batch_iter, max_batches: int = 50) -> dict:
+        """Average eval loss over ``batch_iter`` (un-corrupted views)."""
+        if self._eval_fn is None:
+            self._eval_fn = self._build_eval_fn()
+        meters = {k: AverageMeter() for k in
+                  ("loss", "mg_loss", "cos_loss", "local_loss")}
+        for i, batch in enumerate(batch_iter):
+            if i >= max_batches:
+                break
+            views = self.raw_batch_to_views(batch, self.dim)
+            metrics = jax.device_get(
+                self._eval_fn(self.state, views, step_key(self.cfg.seed, i)))
+            bsz = int(views["x1"].shape[0])
+            for k in meters:
+                meters[k].update(float(metrics[k]), bsz)
+        return {k: m.avg for k, m in meters.items()}
 
     # -- checkpointing -----------------------------------------------------
 
@@ -154,23 +212,35 @@ class Trainer:
 
 
 def run_training(model, cfg: TrainConfig, loader, aug_fn, dim: int,
-                 sample_batch, mesh=None, epochs: Optional[int] = None):
+                 sample_batch, mesh=None, epochs: Optional[int] = None,
+                 eval_loader=None):
     """Full pretraining run (reference epoch loop ``train_3d.py:60-83``)."""
+    import contextlib
+
     trainer = Trainer(model, cfg, aug_fn, dim=dim, sample_batch=sample_batch,
                       mesh=mesh)
     if cfg.resume:
         trainer.restore_orbax()
     total = cfg.epochs if epochs is None else epochs
-    for epoch in range(0, total + 1):
-        print("==> training...")
-        t0 = time.time()
-        from pcrlv2_tpu.data.pipeline import device_prefetch
+    profile = (jax.profiler.trace(cfg.profile_dir)
+               if cfg.profile_dir else contextlib.nullcontext())
+    with profile:
+        for epoch in range(0, total + 1):
+            print("==> training...")
+            t0 = time.time()
+            from pcrlv2_tpu.data.pipeline import device_prefetch
 
-        it = device_prefetch(loader.epoch(epoch), mesh=mesh)
-        stats = trainer.train_epoch(epoch, it)
-        print(f"epoch {epoch}, total time {time.time() - t0:.2f}")
-        if epoch % 100 == 0 or epoch == 240:
-            print("==> Saving...")
-            trainer.save_reference_ckpt(epoch)
-            trainer.save_orbax(epoch)
+            it = device_prefetch(loader.epoch(epoch), mesh=mesh)
+            with jax.profiler.StepTraceAnnotation("epoch", step_num=epoch):
+                stats = trainer.train_epoch(epoch, it)
+            print(f"epoch {epoch}, total time {time.time() - t0:.2f}")
+            if (eval_loader is not None and cfg.eval_every
+                    and epoch % cfg.eval_every == 0 and dim == 3):
+                ev = trainer.evaluate(eval_loader.epoch(epoch))
+                trainer.logger.log({"epoch": epoch, "eval": ev})
+                print(f"eval: {ev}")
+            if epoch % 100 == 0 or epoch == 240:
+                print("==> Saving...")
+                trainer.save_reference_ckpt(epoch)
+                trainer.save_orbax(epoch)
     return trainer
