@@ -104,6 +104,17 @@ def conv2d(
     return out
 
 
+def _convt_impl() -> str:
+    """k==stride transpose-conv formulation: ``"einsum"`` (default; single
+    matmul + reshape — measured 531 vs 714 ms/step at the b=32 operating
+    point) or ``"dilated"`` (conv with lhs_dilation; its backward avoids the
+    einsum's 8-D scatter intermediate, for memory-constrained configs).
+    Select with ``PCRL_CONVT3D=dilated``."""
+    import os
+
+    return os.environ.get("PCRL_CONVT3D", "einsum").lower()
+
+
 def conv_transpose3d(
     x: jax.Array,
     w: jax.Array,
@@ -121,7 +132,9 @@ def conv_transpose3d(
     flipped kernel.
     """
     kd, kh, kw = w.shape[:3]
-    if (kd, kh, kw) == (stride,) * 3:
+    if (kd, kh, kw) == (stride,) * 3 and _convt_impl() == "einsum":
+        # one MXU matmul + reshape — fastest end-to-end at the operating
+        # point; PCRL_CONVT3D=dilated picks the memory-friendlier backward.
         bsz, d, h, wd, _ = x.shape
         co = w.shape[-1]
         out = jnp.einsum("bdhwc,ijkco->bdihjwko", x, w.astype(x.dtype))

@@ -136,3 +136,49 @@ class TestResize:
                             align_corners=False)
         ref = ref.permute(0, 2, 3, 1).numpy()
         np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_remat_model_matches_plain():
+    """PCRLv23d(remat=True) computes identical outputs and gradients —
+    rematerialization only changes what's saved for backward."""
+    import jax
+    import jax.numpy as jnp
+    from pcrlv2_tpu.core.precision import PARITY_POLICY
+    from pcrlv2_tpu.models import PCRLv23d
+
+    x = jax.random.uniform(jax.random.key(0), (1, 16, 16, 8, 1))
+    plain = PCRLv23d(policy=PARITY_POLICY)
+    remat = PCRLv23d(policy=PARITY_POLICY, remat=True)
+    v = jax.jit(lambda: plain.init(jax.random.key(1), x, train=True))()
+
+    def loss(model, v, x):
+        (out, feats, masks), _ = model.apply(v, x, train=True,
+                                             mutable=["batch_stats"])
+        return jnp.sum(out ** 2) + sum(jnp.sum(p ** 2) for p, _ in feats)
+
+    l1, g1 = jax.jit(jax.value_and_grad(
+        lambda p: loss(plain, {**v, "params": p}, x)))(v["params"])
+    l2, g2 = jax.jit(jax.value_and_grad(
+        lambda p: loss(remat, {**v, "params": p}, x)))(v["params"])
+    assert float(l1) == float(l2)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_conv_transpose_dilated_matches_einsum(monkeypatch):
+    """Both k2s2 transpose-conv formulations agree (PCRL_CONVT3D)."""
+    import jax
+    import jax.numpy as jnp
+    from pcrlv2_tpu.ops import conv_transpose3d
+
+    x = jax.random.normal(jax.random.key(0), (2, 4, 4, 2, 6), jnp.float32)
+    w = jax.random.normal(jax.random.key(1), (2, 2, 2, 6, 3), jnp.float32)
+    b = jax.random.normal(jax.random.key(2), (3,), jnp.float32)
+    monkeypatch.setenv("PCRL_CONVT3D", "einsum")
+    a = conv_transpose3d(x, w, b)
+    monkeypatch.setenv("PCRL_CONVT3D", "dilated")
+    c = conv_transpose3d(x, w, b)
+    assert a.shape == (2, 8, 8, 4, 3)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                               rtol=1e-5, atol=1e-5)
