@@ -68,6 +68,16 @@ def build_parser() -> argparse.ArgumentParser:
                         help="UID / image list file")
     parser.add_argument("--steps_per_epoch", default=None, type=int,
                         help="cap batches per epoch (smoke runs)")
+    parser.add_argument("--use_painting", action="store_true", default=False,
+                        help="enable in/out-painting corruption (the "
+                             "Model-Genesis ops dormant in the reference, "
+                             "lunaDataset.py:45-55)")
+    parser.add_argument("--paint_rate", default=0.5, type=float,
+                        help="probability of painting when --use_painting")
+    parser.add_argument("--use_pixel_shuffle", action="store_true",
+                        default=False,
+                        help="enable local pixel shuffling (dormant upstream, "
+                             "lunaDataset.py:43-44)")
     parser.add_argument("--eval_every", default=0, type=int,
                         help="epochs between eval-loss passes (0 = off; the "
                              "reference builds an eval loader it never uses)")
@@ -237,7 +247,9 @@ def main(argv=None) -> None:
     if args.model == "pcrlv2" and args.phase == "pretask":
         if args.d == 3:
             model = PCRLv23d(policy=policy)
-            aug_fn = make_luna_aug_fn()
+            aug_fn = make_luna_aug_fn(
+                use_painting=args.use_painting, paint_rate=args.paint_rate,
+                use_pixel_shuffle=args.use_pixel_shuffle)
             sample = jnp.zeros((args.b, 64, 64, 32, 1), jnp.float32)
             print("training pcrlv2 3d")
         elif args.d == 2:
