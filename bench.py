@@ -32,19 +32,40 @@ BASELINE_VOLUMES_PER_SEC_PER_CHIP = 30.0
 BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 WARMUP = int(os.environ.get("BENCH_WARMUP", "3"))
 STEPS = int(os.environ.get("BENCH_STEPS", "20"))
+DIM = int(os.environ.get("BENCH_DIM", "3"))  # 3 = LUNA (headline), 2 = chest
+BASELINE_CHEST_IMGS_PER_SEC_PER_CHIP = 120.0  # V100-era estimate, 2D is ~4x lighter
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
+    from pcrlv2_tpu.data.augment2d import make_chest_aug_fn
     from pcrlv2_tpu.data.augment3d import make_luna_aug_fn
-    from pcrlv2_tpu.data.pipeline import synthetic_luna_batch
-    from pcrlv2_tpu.models import PCRLv23d
+    from pcrlv2_tpu.data.pipeline import (synthetic_chest_batch,
+                                          synthetic_luna_batch)
+    from pcrlv2_tpu.models import PCRLv2, PCRLv23d
     from pcrlv2_tpu.train.optimizer import sgd
     from pcrlv2_tpu.train.step import create_train_state, make_train_step
 
     n_chips = jax.device_count()
+
+    if DIM == 2:
+        batch_n = BATCH * 2  # run2d.sh operating point is b=64
+        model = PCRLv2()
+        tx = sgd()
+        sample = jnp.zeros((batch_n, 224, 224, 3), jnp.float32)
+        state = create_train_state(model, tx, jax.random.key(0), sample)
+        aug = jax.jit(make_chest_aug_fn())
+        step = jax.jit(make_train_step(model, tx, dim=2, aug_fn=None,
+                                       loss_guard=None), donate_argnums=(0,))
+        batch = jax.device_put(
+            jax.tree.map(jnp.asarray, synthetic_chest_batch(batch_n)))
+        metric, unit = "2d_pretrain_imgs_per_sec_per_chip", "imgs/sec/chip"
+        baseline, bsz = BASELINE_CHEST_IMGS_PER_SEC_PER_CHIP, batch_n
+        run_bench(jax, aug, step, state, batch, bsz, n_chips, metric, unit,
+                  baseline)
+        return
 
     model = PCRLv23d()
     tx = sgd()
@@ -61,6 +82,15 @@ def main():
 
     batch = jax.device_put(
         jax.tree.map(jnp.asarray, synthetic_luna_batch(BATCH)))
+    run_bench(jax, aug, step, state, batch, BATCH, n_chips,
+              "3d_pretrain_volumes_per_sec_per_chip", "volumes/sec/chip",
+              BASELINE_VOLUMES_PER_SEC_PER_CHIP)
+
+
+def run_bench(jax, aug, step, state, batch, bsz, n_chips, metric, unit,
+              baseline):
+    import jax.numpy as jnp
+
     lr = jnp.float32(1e-3)
     epoch = jnp.int32(0)
 
@@ -83,13 +113,12 @@ def main():
     sync(state.params)
     dt = time.perf_counter() - t0
 
-    vols_per_sec = BATCH * STEPS / dt
-    per_chip = vols_per_sec / n_chips
+    per_chip = bsz * STEPS / dt / n_chips
     print(json.dumps({
-        "metric": "3d_pretrain_volumes_per_sec_per_chip",
+        "metric": metric,
         "value": round(per_chip, 3),
-        "unit": "volumes/sec/chip",
-        "vs_baseline": round(per_chip / BASELINE_VOLUMES_PER_SEC_PER_CHIP, 3),
+        "unit": unit,
+        "vs_baseline": round(per_chip / baseline, 3),
     }))
 
 
