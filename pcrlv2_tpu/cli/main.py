@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="UID / image list file")
     parser.add_argument("--steps_per_epoch", default=None, type=int,
                         help="cap batches per epoch (smoke runs)")
+    parser.add_argument("--encoder_weights", default=None,
+                        help="torch ResNet-18 state_dict (.pt) to initialize "
+                             "the 2D encoder — the ImageNet-init analog of "
+                             "the reference's smp default (no download here)")
     parser.add_argument("--use_painting", action="store_true", default=False,
                         help="enable in/out-painting corruption (the "
                              "Model-Genesis ops dormant in the reference, "
@@ -261,7 +265,8 @@ def main(argv=None) -> None:
             raise SystemExit(f"unsupported --d {args.d}")
         run_training(model, cfg, loaders["train"], aug_fn, dim=args.d,
                      sample_batch=sample, mesh=mesh,
-                     eval_loader=loaders.get("eval"))
+                     eval_loader=loaders.get("eval"),
+                     encoder_weights=args.encoder_weights)
     else:
         # reference behavior: any other combination silently does nothing
         # after building the dataloader (main.py:47-50) — be loud instead.

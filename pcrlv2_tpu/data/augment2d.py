@@ -244,27 +244,13 @@ def random_grayscale(key, img, p: float = 0.2):
                      jnp.broadcast_to(g, img.shape), img)
 
 
-_BLUR_RADIUS_2D = 8
-
-
 def gaussian_blur_2d(img: jax.Array, sigma) -> jax.Array:
     """Separable Gaussian blur, edge padding (PIL ``ImageFilter.GaussianBlur``
     with radius=σ, reference ``utils.py:139-148``)."""
-    r = _BLUR_RADIUS_2D
-    x = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    w = jnp.exp(-0.5 * (x / jnp.maximum(sigma, 1e-6)) ** 2)
-    w = jnp.where(sigma < 1e-4, (x == 0).astype(jnp.float32), w)
-    w = w / jnp.sum(w)
+    from pcrlv2_tpu.ops.blur import blur_axis, gaussian_kernel
 
-    def blur_axis(im, axis):
-        moved = jnp.moveaxis(im, axis, -1)
-        pad = [(0, 0)] * (moved.ndim - 1) + [(r, r)]
-        padded = jnp.pad(moved, pad, mode="edge")
-        idx = jnp.arange(moved.shape[-1])[:, None] + jnp.arange(2 * r + 1)[None, :]
-        out = jnp.einsum("...lk,k->...l", padded[..., idx], w)
-        return jnp.moveaxis(out, -1, axis)
-
-    return blur_axis(blur_axis(img, 0), 1)
+    w = gaussian_kernel(sigma)
+    return blur_axis(blur_axis(img, w, 0, "edge"), w, 1, "edge")
 
 
 def random_blur_2d(key, img, sigma_range=(0.1, 2.0), p: float = 0.5):
@@ -395,20 +381,25 @@ def make_chest_aug_fn(n_local: int = 6, global_size: int = 224,
                       local_size: int = 96):
     """Build the batch aug fn for the 2D pipeline.
 
-    Input batch: ``{'image': (B, H0, W0, 3) float in [0,1], 'size': (B, 2)}``
-    — decoded images on a fixed canvas plus their valid (h, w) extents.
-    Output views match ``chestDataset.py:48``: x1/x2/gt/gt2 (B, 224, 224, 3)
-    and locals (B, 6, 96, 96, 3), ImageNet-normalized.
+    Input batch: ``{'image': (B, canvas, canvas, 3) float in [0,1]}`` —
+    decoded images resized to a fixed square canvas host-side.  Output views
+    match ``chestDataset.py:48``: x1/x2/gt/gt2 (B, 224, 224, 3) and locals
+    (B, 6, 96, 96, 3), ImageNet-normalized.
+
+    **Deviation:** the reference crops at native resolution on CPU workers;
+    the fixed square canvas aspect-distorts non-square X-rays (NIH images
+    are 1024² so this is a no-op there).  For non-square datasets set
+    ``canvas`` to the native size in the host loader.
     """
 
     def aug_fn(key, batch):
         imgs = batch["image"].astype(jnp.float32)
-        sizes = batch["size"].astype(jnp.float32)
-        b = imgs.shape[0]
+        b, h0, w0 = imgs.shape[:3]
+        hw = jnp.broadcast_to(jnp.array([h0, w0], jnp.float32), (b, 2))
         keys = jax.random.split(key, b)
         fn = partial(_augment_one_2d, n_local=n_local,
                      global_size=global_size, local_size=local_size)
-        x1, x2, gt1, gt2, locals_out = jax.vmap(fn)(keys, imgs, sizes)
+        x1, x2, gt1, gt2, locals_out = jax.vmap(fn)(keys, imgs, hw)
         return {"x1": x1, "x2": x2, "gt": gt1, "gt2": gt2,
                 "locals": locals_out}
 

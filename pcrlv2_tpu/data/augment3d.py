@@ -212,28 +212,9 @@ def spatial_transform(key: jax.Array, img: jax.Array):
 # intensity
 # ---------------------------------------------------------------------------
 
-_BLUR_RADIUS = 8  # fixed 17-tap kernel ≈ scipy truncate=4 at σ_max=2
-
-
-def _gaussian_kernel(sigma: jax.Array, radius: int = _BLUR_RADIUS) -> jax.Array:
-    """17-tap Gaussian; degenerates to a delta for σ → 0."""
-    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-    w = jnp.exp(-0.5 * (x / jnp.maximum(sigma, 1e-6)) ** 2)
-    w = jnp.where(sigma < 1e-4, (x == 0).astype(jnp.float32), w)
-    return w / jnp.sum(w)
-
-
-def _blur_axis(img: jax.Array, kernel: jax.Array, axis: int) -> jax.Array:
-    """Separable 1D Gaussian along ``axis`` with reflect padding (scipy mode)."""
-    r = (kernel.shape[0] - 1) // 2
-    moved = jnp.moveaxis(img, axis, -1)
-    pad = [(0, 0)] * (moved.ndim - 1) + [(r, r)]
-    padded = jnp.pad(moved, pad, mode="reflect")
-    # windowed matmul: unfold into (…, L, K) then contract with the kernel
-    idx = jnp.arange(moved.shape[-1])[:, None] + jnp.arange(2 * r + 1)[None, :]
-    windows = padded[..., idx]  # (…, L, K)
-    out = jnp.einsum("...lk,k->...l", windows, kernel)
-    return jnp.moveaxis(out, -1, axis)
+# shared separable-blur primitives (also used by the 2D stack)
+from pcrlv2_tpu.ops.blur import blur_axis as _blur_axis  # noqa: E402
+from pcrlv2_tpu.ops.blur import gaussian_kernel as _gaussian_kernel  # noqa: E402
 
 
 def random_blur(key: jax.Array, img: jax.Array, std=(0.0, 2.0)):
@@ -394,12 +375,12 @@ def local_pixel_shuffling(key: jax.Array, img: jax.Array, num_block: int = 64,
     return img
 
 
-def _random_box(key, shape, size_lo_frac, size_hi_frac, margin=3):
-    """Sample a random box: corner + per-axis size in [s·lo, s·hi] as a mask."""
+def _random_box(key, shape, lo_frac, hi_frac, margin=3):
+    """Sample a random box: corner + per-axis size in [⌊s·lo⌋, ⌊s·hi⌋]."""
     ks, kc = jax.random.split(key)
     shape_arr = jnp.asarray(shape)
-    lo = shape_arr // size_lo_frac
-    hi = shape_arr // size_hi_frac
+    lo = (shape_arr * jnp.asarray(lo_frac)).astype(jnp.int32)
+    hi = (shape_arr * jnp.asarray(hi_frac)).astype(jnp.int32)
     size = jax.random.randint(ks, (3,), jnp.minimum(lo, hi),
                               jnp.maximum(lo, hi) + 1)
     corner = jax.random.randint(
@@ -418,7 +399,7 @@ def image_in_painting(key: jax.Array, img: jax.Array, cnt: int = 5):
     def body(i, carry):
         img, key = carry
         key, kb, kn, kp = jax.random.split(key, 4)
-        box = _random_box(kb, img.shape, 6, 3)
+        box = _random_box(kb, img.shape, 1 / 6, 1 / 3)
         noise = jax.random.uniform(kn, img.shape)
         keep = jax.random.bernoulli(kp, 0.05)  # reference: while random()<0.95
         img = jnp.where(box & ~keep, noise, img)
@@ -430,15 +411,15 @@ def image_in_painting(key: jax.Array, img: jax.Array, cnt: int = 5):
 
 def image_out_painting(key: jax.Array, img: jax.Array, cnt: int = 4):
     """Model-Genesis out-painting (reference ``lunaDataset.py:190-220``):
-    replace everything *outside* random boxes (size s − s·3/7…4/7) with noise,
-    keeping the union of box interiors."""
+    replace everything *outside* random kept boxes with noise.  Kept-box
+    sizes are ``s − randint(3s/7, 4s/7)`` ∈ [3s/7, 4s/7] per axis."""
     key, kn, k0 = jax.random.split(key, 3)
-    keep = _random_box(k0, img.shape, 7, 2, margin=3)
+    keep = _random_box(k0, img.shape, 3 / 7, 4 / 7, margin=3)
 
     def body(i, carry):
         keep, key = carry
         key, kb, kp = jax.random.split(key, 3)
-        box = _random_box(kb, img.shape, 7, 2)
+        box = _random_box(kb, img.shape, 3 / 7, 4 / 7)
         skip = jax.random.bernoulli(kp, 0.05)
         keep = jnp.where(skip, keep, keep | box)
         return keep, key
@@ -455,7 +436,7 @@ def image_out_painting(key: jax.Array, img: jax.Array, cnt: int = 4):
 
 def _augment_one_3d(key, crop1, crop2, local_crops,
                     use_painting: bool, paint_rate: float,
-                    use_pixel_shuffle: bool):
+                    use_pixel_shuffle: bool, inpaint_rate: float = 0.2):
     """Per-sample pipeline of reference ``lunaDataset.py:28-81``."""
     keys = jax.random.split(key, 8)
     gt1 = spatial_transform(keys[0], crop1)
@@ -468,10 +449,17 @@ def _augment_one_3d(key, crop1, crop2, local_crops,
         x1 = local_pixel_shuffling(kp1, x1)
         x2 = local_pixel_shuffling(kp2, x2)
     if use_painting:  # dormant upstream (lunaDataset.py:45-55)
-        kp, ka, kb = jax.random.split(keys[7], 3)
+        # with prob paint_rate: in-paint both views with prob inpaint_rate,
+        # otherwise out-paint both (Model-Genesis inpaint_rate default 0.2)
+        kp, ki, ka, kb, kc, kd = jax.random.split(keys[7], 6)
         do = jax.random.bernoulli(kp, paint_rate)
-        x1 = jnp.where(do, image_in_painting(ka, x1), x1)
-        x2 = jnp.where(do, image_in_painting(kb, x2), x2)
+        inp = jax.random.bernoulli(ki, inpaint_rate)
+        painted1 = jnp.where(inp, image_in_painting(ka, x1),
+                             image_out_painting(kc, x1))
+        painted2 = jnp.where(inp, image_in_painting(kb, x2),
+                             image_out_painting(kd, x2))
+        x1 = jnp.where(do, painted1, x1)
+        x2 = jnp.where(do, painted2, x2)
 
     n_local = local_crops.shape[0]
     lkeys = jax.random.split(keys[4], n_local)
@@ -486,7 +474,8 @@ def _augment_one_3d(key, crop1, crop2, local_crops,
 
 
 def make_luna_aug_fn(use_painting: bool = False, paint_rate: float = 0.5,
-                     use_pixel_shuffle: bool = False):
+                     use_pixel_shuffle: bool = False,
+                     inpaint_rate: float = 0.2):
     """Build the batch aug fn for the 3D pipeline.
 
     Input batch: ``{'pair': (B, 2, X, Y, Z), 'locals': (B, V, x, y, z)}`` —
@@ -504,7 +493,9 @@ def make_luna_aug_fn(use_painting: bool = False, paint_rate: float = 0.5,
         b = pair.shape[0]
         keys = jax.random.split(key, b)
         fn = partial(_augment_one_3d, use_painting=use_painting,
-                     paint_rate=paint_rate, use_pixel_shuffle=use_pixel_shuffle)
+                     paint_rate=paint_rate,
+                     use_pixel_shuffle=use_pixel_shuffle,
+                     inpaint_rate=inpaint_rate)
         x1, x2, gt1, gt2, locals_out = jax.vmap(fn)(
             keys, pair[:, 0], pair[:, 1], local_crops)
         return {

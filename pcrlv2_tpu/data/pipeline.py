@@ -52,7 +52,7 @@ def load_chest_sample(image_path: str, canvas: int = 512) -> dict:
     with Image.open(image_path) as im:
         im = im.convert("RGB").resize((canvas, canvas), Image.BILINEAR)
         arr = np.asarray(im, np.float32) / 255.0
-    return {"image": arr, "size": np.array([canvas, canvas], np.int32)}
+    return {"image": arr}
 
 
 class LunaBatchReader:
@@ -209,7 +209,6 @@ def synthetic_chest_batch(batch_size: int = 64, canvas: int = 512, seed: int = 0
     rng = np.random.RandomState(seed)
     return {
         "image": rng.rand(batch_size, canvas, canvas, 3).astype(np.float32),
-        "size": np.tile(np.array([canvas, canvas], np.int32), (batch_size, 1)),
     }
 
 

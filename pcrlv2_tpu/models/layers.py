@@ -236,23 +236,36 @@ class Dense(nn.Module):
 
 class MLPHead(nn.Module):
     """Predictor head: Linear(c→2c) → BN1d → ReLU → Linear(2c→c)
-    (reference ``pcrlv2_model_3d.py:56-59``, ``pcrlv2_model.py:108-111``)."""
+    (reference ``pcrlv2_model_3d.py:56-59``, ``pcrlv2_model.py:108-111``).
+
+    Init differs by pipeline, matching the reference: the 3D model keeps
+    torch ``nn.Linear`` defaults (no init pass exists upstream for it),
+    while the 2D decoder's ``initialize_decoder`` re-inits every Linear with
+    xavier_uniform weights and zero biases (``pcrlv2_model.py:23-38``) —
+    select with ``decoder_init=True``.
+    """
 
     channels: int
     policy: Policy = DEFAULT_POLICY
+    decoder_init: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        # torch nn.Linear default init (kaiming_uniform a=√5 == U(±√(1/fan_in))).
-        linear_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
-        x = Dense(2 * self.channels, kernel_init=linear_init,
-                  bias_init=torch_bias_init(self.channels), policy=self.policy,
-                  name="fc1")(x)
+        if self.decoder_init:
+            k1 = k2 = xavier_uniform
+            b1 = b2 = nn.initializers.zeros
+        else:
+            # torch nn.Linear default (kaiming_uniform a=√5 == U(±√(1/fan))).
+            k1 = k2 = nn.initializers.variance_scaling(
+                1.0 / 3.0, "fan_in", "uniform")
+            b1 = torch_bias_init(self.channels)
+            b2 = torch_bias_init(2 * self.channels)
+        x = Dense(2 * self.channels, kernel_init=k1, bias_init=b1,
+                  policy=self.policy, name="fc1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=self.policy.compute_dtype,
                          param_dtype=self.policy.param_dtype, name="bn")(x)
         x = nn.relu(x)
-        x = Dense(self.channels, kernel_init=linear_init,
-                  bias_init=torch_bias_init(2 * self.channels), policy=self.policy,
-                  name="fc2")(x)
+        x = Dense(self.channels, kernel_init=k2, bias_init=b2,
+                  policy=self.policy, name="fc2")(x)
         return x

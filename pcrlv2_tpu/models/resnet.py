@@ -7,10 +7,11 @@ exposed as a 6-stage feature pyramid with out_channels (3, 64, 64, 128, 256,
 layer3 (/16), layer4 (/32)].
 
 Init matches torchvision's from-scratch scheme (kaiming_normal fan_out relu
-for convs, BN γ=1 β=0); ImageNet weights — the smp default the reference
-relies on — can be imported from a torch checkpoint via
-``pcrlv2_tpu.train.checkpoint.load_torch_resnet18_encoder`` (no network
-access is assumed).
+for convs, BN γ=1 β=0).  **Deviation:** the reference's smp default starts
+from ImageNet weights; this environment has no network access, so 2D
+pretraining starts from scratch unless a torch ResNet-18 state_dict is
+supplied — ``pcrlv2_tpu.train.checkpoint.import_resnet18_encoder(path)``
+converts one, and the CLI loads it via ``--encoder_weights <file.pt>``.
 """
 
 from __future__ import annotations

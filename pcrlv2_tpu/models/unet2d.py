@@ -90,7 +90,10 @@ class DecoderBlock(nn.Module):
                             policy=p, name="ds_conv2")(m)
         x_pro = global_avg_pool(x)
         x_pro = _bn(p, train, "bn")(x_pro)
-        x_pre = MLPHead(self.features, policy=p, name="predictor_head")(x_pro, train)
+        # decoder_init: the reference re-inits decoder Linears with xavier
+        # weights / zero biases (initialize_decoder, pcrlv2_model.py:23-38)
+        x_pre = MLPHead(self.features, policy=p, decoder_init=True,
+                        name="predictor_head")(x_pro, train)
         return x, x_pro, x_pre, x_mask
 
 

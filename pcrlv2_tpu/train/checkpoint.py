@@ -256,8 +256,12 @@ def export_resnet18_encoder(variables, path: str, opt=None, epoch: int = 0) -> N
 
 
 def import_resnet18_encoder(path: str):
+    """Import encoder weights from a reference-schema ``.pt``
+    (``{'state_dict': …}``) or a bare torchvision ResNet-18 state_dict —
+    the latter is how ImageNet weights arrive (smp's default init,
+    reference ``pcrlv2_model.py:200``)."""
     ckpt = load_reference_checkpoint(path)
-    sd = dict(ckpt["state_dict"])
+    sd = dict(ckpt["state_dict"]) if "state_dict" in ckpt else dict(ckpt)
     sd.pop("fc.weight", None)  # README.md:42-43 patches these in/out
     sd.pop("fc.bias", None)
     return torch_state_to_flax(sd, resnet18_encoder_mapping()), ckpt
@@ -277,6 +281,8 @@ def save_train_state(ckpt_dir: str, step: int, state) -> None:
 
 
 def restore_train_state(ckpt_dir: str, step: int | None = None, template=None):
+    """Restore a train state; returns ``(state, saved_step)`` where
+    ``saved_step`` is the checkpoint's key (the epoch it was saved at)."""
     import orbax.checkpoint as ocp
 
     ckpt_dir = os.path.abspath(ckpt_dir)
@@ -284,5 +290,6 @@ def restore_train_state(ckpt_dir: str, step: int | None = None, template=None):
         if step is None:
             step = mgr.latest_step()
         if template is not None:
-            return mgr.restore(step, args=ocp.args.StandardRestore(template))
-        return mgr.restore(step)
+            return mgr.restore(
+                step, args=ocp.args.StandardRestore(template)), step
+        return mgr.restore(step), step

@@ -65,40 +65,13 @@ def _flatten_locals(locals_bv):
     return lv.reshape((v * b,) + locals_bv.shape[2:]), b, v
 
 
-def make_train_step(
-    model,
-    tx: optax.GradientTransformation,
-    *,
-    dim: int = 3,
-    aug_fn: Optional[Callable] = None,
-    loss_guard: Optional[float] = 1000.0,
-    guard_warmup_epochs: int = 10,
-    beta_period: float = 240.0,
-    mixup_alpha: Optional[float] = None,
-):
-    """Build the fused train step for the 3D (``train_3d.py:95-151``) or 2D
-    (``train_2d.py:120-172``) pipeline.
+def make_loss_fn(model, *, dim: int = 3, beta_period: float = 240.0,
+                 mixup_alpha: Optional[float] = None):
+    """The 4-term PCRLv2 loss as a standalone function — used by the train
+    step's grad and jitted value-only for evaluation.
 
-    Args:
-      model: ``PCRLv23d`` (dim=3) or ``PCRLv2`` (dim=2).  The two differ in
-        top-level output order — 3D returns ``(out, feats, masks)``
-        (``pcrlv2_model_3d.py:133``), 2D ``(feats, masks_out, masks)``
-        (``pcrlv2_model.py:209``).
-      tx: optimizer core (``pcrlv2_tpu.train.optimizer.sgd``); LR is applied
-        per step from the traced ``lr`` argument.
-      aug_fn: optional on-device augmentation: ``aug_fn(key, raw_batch) ->
-        dict(x1, x2, gt, locals)``.  When None the batch must already contain
-        those views.
-      loss_guard: the reference's anomaly skip — drop the update if
-        ``loss > 1000 and epoch > 10`` (``train_3d.py:140-142``; 2D has no
-        guard, pass ``None``).
-      mixup_alpha: opt-in input mixup.  The reference defines ``mixup_data``
-        (``train_2d.py:44-59``) but never calls it; when set, both global
-        views are mixed with the same permutation/λ and the restoration GT is
-        mixed consistently.
-
-    Returns a function ``step(state, batch, key, lr, epoch) -> (state, metrics)``
-    suitable for ``jax.jit`` (donate ``state``).
+    Returns ``loss_fn(params, batch_stats, views, key, epoch) ->
+    (loss, (new_batch_stats, metrics))``.
     """
 
     def unpack(outs):
@@ -141,7 +114,6 @@ def make_train_step(
         loss2, index2 = cos_loss(k2, feats1, feats2)
 
         # 12 local terms, each at its own sampled level (train_3d.py:127-134).
-        n_levels = len(feats1)
         keys = jax.random.split(key, 2 * n_views)
         local_loss = 0.0
         for i in range(n_views):
@@ -170,6 +142,48 @@ def make_train_step(
             "level": index2,
         }
         return total, (updL["batch_stats"], metrics)
+
+    return loss_fn
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    *,
+    dim: int = 3,
+    aug_fn: Optional[Callable] = None,
+    loss_guard: Optional[float] = 1000.0,
+    guard_warmup_epochs: int = 10,
+    beta_period: float = 240.0,
+    mixup_alpha: Optional[float] = None,
+):
+    """Build the fused train step for the 3D (``train_3d.py:95-151``) or 2D
+    (``train_2d.py:120-172``) pipeline.
+
+    Args:
+      model: ``PCRLv23d`` (dim=3) or ``PCRLv2`` (dim=2).  The two differ in
+        top-level output order — 3D returns ``(out, feats, masks)``
+        (``pcrlv2_model_3d.py:133``), 2D ``(feats, masks_out, masks)``
+        (``pcrlv2_model.py:209``).
+      tx: optimizer core (``pcrlv2_tpu.train.optimizer.sgd``); LR is applied
+        per step from the traced ``lr`` argument.
+      aug_fn: optional on-device augmentation: ``aug_fn(key, raw_batch) ->
+        dict(x1, x2, gt, locals)``.  When None the batch must already contain
+        those views.
+      loss_guard: the reference's anomaly skip — drop the update if
+        ``loss > 1000 and epoch > 10`` (``train_3d.py:140-142``; 2D has no
+        guard, pass ``None``).
+      mixup_alpha: opt-in input mixup.  The reference defines ``mixup_data``
+        (``train_2d.py:44-59``) but never calls it; when set, both global
+        views are mixed with the same permutation/λ and the restoration GT is
+        mixed consistently.
+
+    Returns a function ``step(state, batch, key, lr, epoch) -> (state, metrics)``
+    suitable for ``jax.jit`` (donate ``state``).
+    """
+
+    loss_fn = make_loss_fn(model, dim=dim, beta_period=beta_period,
+                           mixup_alpha=mixup_alpha)
 
     def step(state: TrainState, batch, key, lr, epoch):
         if aug_fn is not None:

@@ -81,31 +81,28 @@ class Trainer:
                             loss_guard=loss_guard, mixup_alpha=cfg.mixup),
             donate_argnums=(0,),
         )
-        self.logger = MetricLogger(
-            os.path.join(cfg.output, "metrics.jsonl")
-            if os.path.isdir(cfg.output) else None)
+        os.makedirs(cfg.output, exist_ok=True)
+        self.logger = MetricLogger(os.path.join(cfg.output, "metrics.jsonl"))
         self._global_step = 0
         self._eval_fn = None
 
     # -- evaluation ----------------------------------------------------------
 
     def _build_eval_fn(self):
-        """Jitted eval: the same 4-term loss on un-corrupted views, no update.
+        """Jitted eval: the same 4-term loss on un-corrupted views — the
+        loss forward only, no grad/optimizer program compiled.
 
         Fills the reference's gap — its eval DataLoader is built but would
         crash if iterated (``transform=None`` yet ``__getitem__`` applies it,
         reference ``lunaDataset.py:37``, ``data.py:59``).
         """
-        from pcrlv2_tpu.train.step import make_train_step
+        from pcrlv2_tpu.train.step import make_loss_fn
 
-        loss_only = make_train_step(self.model, self.tx, dim=self.dim,
-                                    aug_fn=None, loss_guard=None)
+        loss_fn = make_loss_fn(self.model, dim=self.dim)
 
-        def eval_step(state, views, key):
-            # run the step against a throwaway state copy: metrics without
-            # mutating params/stats (donation not used here)
-            _, metrics = loss_only(state, views, key, jnp.float32(0.0),
-                                   jnp.int32(0))
+        def eval_step(params, batch_stats, views, key):
+            _, (_, metrics) = loss_fn(params, batch_stats, views, key,
+                                      jnp.int32(0))
             return metrics
 
         return jax.jit(eval_step)
@@ -136,7 +133,8 @@ class Trainer:
                 break
             views = self.raw_batch_to_views(batch, self.dim)
             metrics = jax.device_get(
-                self._eval_fn(self.state, views, step_key(self.cfg.seed, i)))
+                self._eval_fn(self.state.params, self.state.batch_stats,
+                              views, step_key(self.cfg.seed, i)))
             bsz = int(views["x1"].shape[0])
             for k in meters:
                 meters[k].update(float(metrics[k]), bsz)
@@ -159,14 +157,30 @@ class Trainer:
                                              epoch=epoch)
         return path
 
+    def load_encoder_weights(self, path: str) -> None:
+        """Initialize the 2D encoder from a torch ResNet-18 checkpoint —
+        the ImageNet-init analog of the reference's smp default."""
+        enc_vars, _ = ckpt_lib.import_resnet18_encoder(path)
+        params = dict(self.state.params)
+        stats = dict(self.state.batch_stats)
+        params["encoder"] = enc_vars["params"]
+        stats["encoder"] = enc_vars["batch_stats"]
+        self.state = self.state.replace(params=params, batch_stats=stats)
+
     def save_orbax(self, epoch: int):
         if self.cfg.orbax_dir:
             ckpt_lib.save_train_state(self.cfg.orbax_dir, epoch, self.state)
 
-    def restore_orbax(self, step: Optional[int] = None):
-        restored = ckpt_lib.restore_train_state(self.cfg.orbax_dir, step,
-                                                template=self.state)
+    def restore_orbax(self, step: Optional[int] = None) -> int:
+        """Restore params/opt/batch-stats AND the training position: the
+        global step resumes from the saved state and the returned epoch tells
+        the caller where the epoch loop (LR/β schedules, key stream) should
+        continue (the reference has no resume at all)."""
+        restored, saved_epoch = ckpt_lib.restore_train_state(
+            self.cfg.orbax_dir, step, template=self.state)
         self.state = restored
+        self._global_step = int(jax.device_get(restored.step))
+        return int(saved_epoch)
 
     # -- the loop -----------------------------------------------------------
 
@@ -213,19 +227,29 @@ class Trainer:
 
 def run_training(model, cfg: TrainConfig, loader, aug_fn, dim: int,
                  sample_batch, mesh=None, epochs: Optional[int] = None,
-                 eval_loader=None):
+                 eval_loader=None, encoder_weights: Optional[str] = None):
     """Full pretraining run (reference epoch loop ``train_3d.py:60-83``)."""
     import contextlib
 
     trainer = Trainer(model, cfg, aug_fn, dim=dim, sample_batch=sample_batch,
                       mesh=mesh)
+    if encoder_weights:
+        if dim != 2:
+            raise ValueError("--encoder_weights applies to the 2D pipeline")
+        trainer.load_encoder_weights(encoder_weights)
+        print(f"==> encoder initialized from {encoder_weights}")
+    start_epoch = 0
     if cfg.resume:
-        trainer.restore_orbax()
+        # continue AFTER the saved epoch: LR/β schedules, the PRNG stream
+        # (via the restored global step) and checkpoint numbering all resume
+        start_epoch = trainer.restore_orbax() + 1
+        print(f"==> resumed at epoch {start_epoch} "
+              f"(global step {trainer._global_step})")
     total = cfg.epochs if epochs is None else epochs
     profile = (jax.profiler.trace(cfg.profile_dir)
                if cfg.profile_dir else contextlib.nullcontext())
     with profile:
-        for epoch in range(0, total + 1):
+        for epoch in range(start_epoch, total + 1):
             print("==> training...")
             t0 = time.time()
             from pcrlv2_tpu.data.pipeline import device_prefetch

@@ -50,3 +50,33 @@ def test_evaluate_deterministic(tmp_path):
     s1 = trainer.evaluate(iter(batches))
     s2 = trainer.evaluate(iter(batches))
     assert s1 == s2
+
+
+def test_resume_continues_from_saved_epoch(tmp_path):
+    """--resume must continue after the saved epoch with the restored global
+    step — not restart schedules from 0 (reference has no resume at all)."""
+    cfg = TrainConfig(b=2, output=str(tmp_path), seed=0,
+                      orbax_dir=str(tmp_path / "orbax"))
+    model = PCRLv23d()
+    sample = jnp.zeros((2, 16, 16, 8, 1), jnp.float32)
+    trainer = Trainer(model, cfg, aug_fn=None, dim=3, sample_batch=sample)
+
+    rng = np.random.RandomState(0)
+    views = {
+        "x1": rng.rand(2, 16, 16, 8, 1).astype(np.float32),
+        "x2": rng.rand(2, 16, 16, 8, 1).astype(np.float32),
+        "gt": rng.rand(2, 16, 16, 8, 1).astype(np.float32),
+        "gt2": rng.rand(2, 16, 16, 8, 1).astype(np.float32),
+        "locals": rng.rand(2, 6, 8, 8, 8, 1).astype(np.float32),
+    }
+    trainer.train_epoch(0, iter([views, views]))
+    assert trainer._global_step == 2
+    trainer.save_orbax(epoch=7)
+
+    trainer2 = Trainer(model, cfg, aug_fn=None, dim=3, sample_batch=sample)
+    saved_epoch = trainer2.restore_orbax()
+    assert saved_epoch == 7
+    assert trainer2._global_step == 2
+    for a, b in zip(jax.tree.leaves(trainer.state.params),
+                    jax.tree.leaves(trainer2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
