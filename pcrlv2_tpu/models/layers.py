@@ -61,12 +61,17 @@ def make_norm(norm: str, channels: int, policy: Policy) -> nn.Module:
     torch BatchNorm momentum 0.1 == flax momentum 0.9 (running-average decay).
     """
     if norm == "bn":
+        from pcrlv2_tpu.parallel.context import current_spatial_axis
+
         return nn.BatchNorm(
             use_running_average=False,
             momentum=0.9,
             epsilon=1e-5,
             dtype=policy.compute_dtype,
             param_dtype=policy.param_dtype,
+            # under spatial sharding, batch stats reduce over the shards so
+            # train-mode normalization matches the unsharded volume exactly
+            axis_name=current_spatial_axis(),
         )
     if norm == "gn":
         return nn.GroupNorm(

@@ -92,7 +92,7 @@ class UpTransition(nn.Module):
                             policy=self.policy, name="up_conv")(x)
         x = LUConv(channels, self.act, self.norm, self.policy, name="ops0")(x, train)
         x = LUConv(channels, self.act, self.norm, self.policy, name="ops1")(x, train)
-        x_pro = global_avg_pool(x)
+        x_pro = global_avg_pool(x)  # pmean'd under spatial sharding
         x_pro = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.policy.compute_dtype,
                              param_dtype=self.policy.param_dtype, name="bn")(x_pro)

@@ -59,7 +59,18 @@ def conv3d(
 
     Equivalent of ``nn.Conv3d`` (reference ``pcrlv2_model_3d.py:9,78``).
     Output dtype follows ``x``; the MXU accumulates in f32.
+
+    Under a spatial-sharding scope (``parallel.context``), 3³ stride-1 convs
+    halo-exchange one boundary plane along the sharded leading spatial dim.
     """
+    from pcrlv2_tpu.parallel.context import current_spatial_axis
+
+    ax = current_spatial_axis()
+    if ax is not None and stride == 1 and w.shape[:3] == (3, 3, 3) \
+            and padding is None:
+        from pcrlv2_tpu.parallel.spatial import conv3d_local
+
+        return conv3d_local(x, w, b, axis_name=ax)
     if (conv_impl() == "pallas" and stride == 1 and w.shape[:3] == (3, 3, 3)
             and padding is None):
         from pcrlv2_tpu.ops.pallas_conv import conv3d_pallas

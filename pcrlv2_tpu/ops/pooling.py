@@ -33,7 +33,15 @@ def max_pool2d(x: jax.Array, window: int = 2, stride: int | None = None,
 def global_avg_pool(x: jax.Array) -> jax.Array:
     """Adaptive average pool to (1,…,1) + flatten: (B, …spatial…, C) → (B, C).
 
-    Mean accumulates in f32 regardless of activation dtype.
+    Mean accumulates in f32 regardless of activation dtype.  Under a
+    spatial-sharding scope the local mean is ``pmean``-ed over the shards
+    (equal shard sizes make the two-stage mean exact).
     """
+    from pcrlv2_tpu.parallel.context import current_spatial_axis
+
     spatial_axes = tuple(range(1, x.ndim - 1))
-    return jnp.mean(x.astype(jnp.float32), axis=spatial_axes).astype(x.dtype)
+    out = jnp.mean(x.astype(jnp.float32), axis=spatial_axes)
+    ax = current_spatial_axis()
+    if ax is not None:
+        out = lax.pmean(out, ax)
+    return out.astype(x.dtype)

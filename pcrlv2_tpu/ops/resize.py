@@ -30,11 +30,50 @@ def upsample_linear(x: jax.Array, scale: int) -> jax.Array:
     ``x`` is channels-last with any number of spatial dims:
     (B, *spatial, C) → (B, *spatial·scale, C).  Matches torch
     ``F.interpolate(mode='bilinear'/'trilinear', align_corners=False)``.
+
+    Under a spatial-sharding scope, the sharded leading spatial dim is
+    upsampled with a 1-plane halo and per-phase 2-tap stencils (exactly the
+    half-pixel linear kernel), the local dims with ``jax.image.resize``.
     """
     if scale == 1:
         return x
+    from pcrlv2_tpu.parallel.context import current_spatial_axis
+
+    ax = current_spatial_axis()
+    if ax is not None:
+        return _upsample_linear_sharded(x, scale, ax)
     out_shape = (x.shape[0],) + tuple(s * scale for s in x.shape[1:-1]) + (x.shape[-1],)
     return jax.image.resize(x, out_shape, method="linear").astype(x.dtype)
+
+
+def _upsample_linear_sharded(x: jax.Array, scale: int, axis_name: str) -> jax.Array:
+    """×scale linear upsample of (B, Dl, H, W, C) with dim 1 depth-sharded.
+
+    Half-pixel convention: output plane j samples input at
+    ``(j + 0.5)/scale − 0.5`` — a 2-tap stencil within ±1 input plane, so one
+    edge-clamped halo plane per side suffices for any integer scale ≥ 2.
+    """
+    from pcrlv2_tpu.parallel.spatial import halo_exchange
+
+    # local dims (H, W) first — ordinary resize per shard
+    b, dl, h, w, c = x.shape
+    local_shape = (b, dl, h * scale, w * scale, c)
+    x = jax.image.resize(x, local_shape, method="linear").astype(x.dtype)
+
+    xh = halo_exchange(x, axis_name, halo=1, boundary="edge")
+    core = xh[:, 1:-1]
+    left = xh[:, :-2]
+    right = xh[:, 2:]
+    phases = []
+    for p in range(scale):
+        delta = (p + 0.5) / scale - 0.5
+        if delta < 0:
+            phases.append((-delta) * left + (1.0 + delta) * core)
+        else:
+            phases.append((1.0 - delta) * core + delta * right)
+    # (B, Dl, scale, H', W', C) → (B, Dl·scale, H', W', C)
+    out = jnp.stack(phases, axis=2)
+    return out.reshape(b, dl * scale, h * scale, w * scale, c).astype(x.dtype)
 
 
 def resize_linear(x: jax.Array, spatial_shape) -> jax.Array:

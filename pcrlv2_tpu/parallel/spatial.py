@@ -32,12 +32,14 @@ from jax import shard_map
 from pcrlv2_tpu.core.mesh import SPATIAL_AXIS
 
 
-def halo_exchange(xl: jax.Array, axis_name: str, halo: int = 1) -> jax.Array:
+def halo_exchange(xl: jax.Array, axis_name: str, halo: int = 1,
+                  boundary: str = "zero") -> jax.Array:
     """Append ``halo`` boundary planes from each neighbor along dim 1.
 
     Local shard (B, Dl, H, W, C) → (B, Dl + 2·halo, H, W, C).  The halo that
-    would wrap around the volume ends is zeroed — concatenating shards then
-    convolving equals convolving the full volume with SAME (zero) padding.
+    would wrap around the volume ends is replaced per ``boundary``:
+    ``"zero"`` (SAME zero-pad conv semantics) or ``"edge"`` (clamp — the
+    convention of linear interpolation at the volume ends).
     """
     n = lax.psum(1, axis_name)
     idx = lax.axis_index(axis_name)
@@ -46,9 +48,14 @@ def halo_exchange(xl: jax.Array, axis_name: str, halo: int = 1) -> jax.Array:
     # plane(s) arriving from the left neighbor / right neighbor
     from_left = lax.ppermute(xl[:, -halo:], axis_name, fwd)
     from_right = lax.ppermute(xl[:, :halo], axis_name, bwd)
-    from_left = jnp.where(idx == 0, jnp.zeros_like(from_left), from_left)
-    from_right = jnp.where(idx == n - 1, jnp.zeros_like(from_right),
-                           from_right)
+    if boundary == "edge":
+        left_fill = jnp.broadcast_to(xl[:, :1], from_left.shape)
+        right_fill = jnp.broadcast_to(xl[:, -1:], from_right.shape)
+    else:
+        left_fill = jnp.zeros_like(from_left)
+        right_fill = jnp.zeros_like(from_right)
+    from_left = jnp.where(idx == 0, left_fill, from_left)
+    from_right = jnp.where(idx == n - 1, right_fill, from_right)
     return jnp.concatenate([from_left, xl, from_right], axis=1)
 
 

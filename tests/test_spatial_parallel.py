@@ -118,3 +118,80 @@ def test_conv_chain_with_pool(mesh):
     ref = conv3d(max_pool3d(conv3d(x, w1)), w2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+class TestSpatialModel:
+    """The unchanged Flax PCRLv23d run depth-sharded end-to-end."""
+
+    @pytest.fixture(scope="class")
+    def setup(self, mesh):
+        from pcrlv2_tpu.core.precision import PARITY_POLICY
+        from pcrlv2_tpu.models import PCRLv23d
+
+        model = PCRLv23d(policy=PARITY_POLICY)
+        n = mesh.shape[SPATIAL_AXIS]
+        x = jax.random.uniform(jax.random.key(0), (2, 8 * n, 16, 16, 1))
+        v = jax.jit(lambda: model.init(jax.random.key(1), x[:1, :8],
+                                       train=True))()
+        return model, v, x
+
+    def test_eval_mode_matches_unsharded(self, mesh, setup):
+        from pcrlv2_tpu.parallel.spatial_model import spatial_apply
+
+        model, v, x = setup
+        ref = model.apply(v, x, train=False)
+        got = spatial_apply(model, v, x, mesh, train=False)
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                                   atol=1e-5)
+        for i in range(3):
+            np.testing.assert_allclose(np.asarray(got[2][i]),
+                                       np.asarray(ref[2][i]), atol=1e-5)
+            for j in range(2):  # pro, pre — replicated across shards
+                np.testing.assert_allclose(np.asarray(got[1][i][j]),
+                                           np.asarray(ref[1][i][j]),
+                                           atol=1e-5)
+
+    def test_train_mode_matches_unsharded(self, mesh, setup):
+        """Cross-shard BatchNorm statistics (axis_name) make train-mode
+        normalization identical to the full-volume stats."""
+        from pcrlv2_tpu.parallel.spatial_model import spatial_apply
+
+        model, v, x = setup
+        ref, _ = model.apply(v, x, train=True, mutable=["batch_stats"])
+        got = spatial_apply(model, v, x, mesh, train=True)
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got[2][0]),
+                                   np.asarray(ref[2][0]), atol=1e-4)
+
+    def test_output_stays_sharded(self, mesh, setup):
+        from pcrlv2_tpu.parallel.spatial_model import (spatial_apply,
+                                                       spatial_sharded_input)
+
+        model, v, x = setup
+        xs = spatial_sharded_input(x, mesh)
+        out, feats, masks = jax.jit(
+            lambda x: spatial_apply(model, v, x, mesh, train=False))(xs)
+        assert out.sharding.spec[1] == SPATIAL_AXIS
+        assert masks[0].sharding.spec[1] == SPATIAL_AXIS
+
+
+def test_sharded_upsample_matches_resize(mesh):
+    """The halo phase-stencil depth upsample equals jax.image.resize for
+    the half-pixel linear convention, scales 2 and 4."""
+    from functools import partial as _partial
+
+    from pcrlv2_tpu.ops.resize import _upsample_linear_sharded, upsample_linear
+
+    n = mesh.shape[SPATIAL_AXIS]
+    x = jax.random.uniform(jax.random.key(3), (2, 4 * n, 6, 6, 3))
+    for scale in (2, 4):
+        fn = shard_map(
+            _partial(_upsample_linear_sharded, scale=scale,
+                     axis_name=SPATIAL_AXIS),
+            mesh=mesh, in_specs=P(None, SPATIAL_AXIS),
+            out_specs=P(None, SPATIAL_AXIS))
+        got = fn(x)
+        ref = upsample_linear(x, scale)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
