@@ -89,6 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="write a jax.profiler trace here")
     parser.add_argument("--synthetic", action="store_true", default=False,
                         help="train on synthetic data (no dataset needed)")
+    parser.add_argument("--spatial", default=1, type=int,
+                        help="depth-shard each 3D volume over this many chips "
+                             "(halo-exchanged convs; for volumes/batches "
+                             "beyond one chip's HBM — no reference analog)")
     return parser
 
 
@@ -212,7 +216,7 @@ def main(argv=None) -> None:
     import jax
     import jax.numpy as jnp
 
-    from pcrlv2_tpu.core.mesh import DATA_AXIS, create_mesh
+    from pcrlv2_tpu.core.mesh import DATA_AXIS, SPATIAL_AXIS, create_mesh
     from pcrlv2_tpu.core.precision import DEFAULT_POLICY, PARITY_POLICY
     from pcrlv2_tpu.data.augment2d import make_chest_aug_fn
     from pcrlv2_tpu.data.augment3d import make_luna_aug_fn
@@ -223,17 +227,28 @@ def main(argv=None) -> None:
     # here --gpus picks how many local devices join the data axis.
     n_req = len([g for g in str(args.gpus).split(",") if g != ""])
     n_dev = min(max(n_req, 1), jax.local_device_count())
-    mesh = create_mesh((DATA_AXIS,), shape=(n_dev,),
-                       devices=jax.devices()[:n_dev]) if n_dev > 1 else None
-    if args.b % n_dev:
-        raise SystemExit(f"batch {args.b} not divisible by {n_dev} devices")
+    if args.spatial > 1:
+        if n_dev % args.spatial:
+            raise SystemExit(
+                f"--spatial {args.spatial} must divide the {n_dev} devices")
+        n_data = n_dev // args.spatial
+        mesh = create_mesh((DATA_AXIS, SPATIAL_AXIS),
+                           shape=(n_data, args.spatial),
+                           devices=jax.devices()[:n_dev])
+    else:
+        n_data = n_dev
+        mesh = create_mesh((DATA_AXIS,), shape=(n_dev,),
+                           devices=jax.devices()[:n_dev]) if n_dev > 1 else None
+    if args.b % n_data:
+        raise SystemExit(f"batch {args.b} not divisible by {n_data} "
+                         "data-parallel devices")
 
     cfg = TrainConfig(
         model=args.model, n=args.n, phase=args.phase, d=args.d, b=args.b,
         epochs=args.epochs, lr=args.lr, output=args.output, ratio=args.ratio,
         momentum=args.momentum, weight_decay=args.weight_decay,
         seed=args.seed, amp=args.amp, workers=args.workers,
-        mixup=args.mixup, resume=args.resume,
+        mixup=args.mixup, resume=args.resume, spatial=args.spatial,
         orbax_dir=os.path.join(os.path.abspath(args.output), "orbax"),
         profile_dir=args.profile_dir, eval_every=args.eval_every,
     )

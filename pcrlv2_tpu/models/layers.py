@@ -61,7 +61,7 @@ def make_norm(norm: str, channels: int, policy: Policy) -> nn.Module:
     torch BatchNorm momentum 0.1 == flax momentum 0.9 (running-average decay).
     """
     if norm == "bn":
-        from pcrlv2_tpu.parallel.context import current_spatial_axis
+        from pcrlv2_tpu.parallel.context import current_stat_axes
 
         return nn.BatchNorm(
             use_running_average=False,
@@ -69,9 +69,10 @@ def make_norm(norm: str, channels: int, policy: Policy) -> nn.Module:
             epsilon=1e-5,
             dtype=policy.compute_dtype,
             param_dtype=policy.param_dtype,
-            # under spatial sharding, batch stats reduce over the shards so
-            # train-mode normalization matches the unsharded volume exactly
-            axis_name=current_spatial_axis(),
+            # under spatial/batch sharding (shard_map), batch stats reduce
+            # over the shards so train-mode normalization matches the
+            # unsharded global batch exactly
+            axis_name=current_stat_axes(),
         )
     if norm == "gn":
         return nn.GroupNorm(
@@ -265,11 +266,14 @@ class MLPHead(nn.Module):
                 1.0 / 3.0, "fan_in", "uniform")
             b1 = torch_bias_init(self.channels)
             b2 = torch_bias_init(2 * self.channels)
+        from pcrlv2_tpu.parallel.context import current_stat_axes
+
         x = Dense(2 * self.channels, kernel_init=k1, bias_init=b1,
                   policy=self.policy, name="fc1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=self.policy.compute_dtype,
-                         param_dtype=self.policy.param_dtype, name="bn")(x)
+                         param_dtype=self.policy.param_dtype,
+                         axis_name=current_stat_axes(), name="bn")(x)
         x = nn.relu(x)
         x = Dense(self.channels, kernel_init=k2, bias_init=b2,
                   policy=self.policy, name="fc2")(x)

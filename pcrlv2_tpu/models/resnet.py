@@ -34,9 +34,11 @@ kaiming_normal_fan_out = nn.initializers.variance_scaling(
 
 
 def _bn(policy: Policy, train: bool, name: str):
+    from pcrlv2_tpu.parallel.context import current_stat_axes
+
     return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                         dtype=policy.compute_dtype, param_dtype=policy.param_dtype,
-                        name=name)
+                        axis_name=current_stat_axes(), name=name)
 
 
 class BasicBlock(nn.Module):

@@ -93,9 +93,12 @@ class UpTransition(nn.Module):
         x = LUConv(channels, self.act, self.norm, self.policy, name="ops0")(x, train)
         x = LUConv(channels, self.act, self.norm, self.policy, name="ops1")(x, train)
         x_pro = global_avg_pool(x)  # pmean'd under spatial sharding
+        from pcrlv2_tpu.parallel.context import current_stat_axes
+
         x_pro = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.policy.compute_dtype,
-                             param_dtype=self.policy.param_dtype, name="bn")(x_pro)
+                             param_dtype=self.policy.param_dtype,
+                             axis_name=current_stat_axes(), name="bn")(x_pro)
         x_pre = MLPHead(channels, policy=self.policy,
                         name="predictor_head")(x_pro, train)
         x_mask = LUConv(1, "sigmoid", self.norm, self.policy,

@@ -10,3 +10,11 @@ from pcrlv2_tpu.parallel.spatial import (  # noqa: F401
     global_avg_pool_spatial,
     max_pool3d_spatial,
 )
+from pcrlv2_tpu.parallel.spatial_model import (  # noqa: F401
+    spatial_apply,
+    spatial_sharded_input,
+)
+from pcrlv2_tpu.parallel.spatial_train import (  # noqa: F401
+    make_spatial_train_step,
+    shard_views,
+)

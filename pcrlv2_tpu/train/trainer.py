@@ -54,6 +54,7 @@ class TrainConfig:
     orbax_dir: Optional[str] = None
     profile_dir: Optional[str] = None  # jax.profiler trace output (opt-in)
     eval_every: int = 0  # epochs between eval passes; 0 disables
+    spatial: int = 1  # >1: depth-shard the global views over `spatial` chips
 
     def ckpt_name(self, epoch: int) -> str:
         return (f"{self.model}_{self.n}_{self.phase}_{self.ratio}_{epoch}.pt")
@@ -76,11 +77,33 @@ class Trainer:
         # fusing it into the grad program makes XLA schedule it ~40× slower
         # (measured 1613 ms vs 690 ms per step at b=32 on v5e).
         self._aug_fn = jax.jit(aug_fn) if aug_fn is not None else None
-        self._step_fn = jax.jit(
-            make_train_step(self.model, self.tx, dim=dim, aug_fn=None,
-                            loss_guard=loss_guard, mixup_alpha=cfg.mixup),
-            donate_argnums=(0,),
-        )
+        self._shard_views = None
+        if cfg.spatial > 1:
+            # depth-sharded training: the full 4-term objective with the
+            # global views' volume split over the mesh's `spatial` axis
+            # (parallel/spatial_train.py) — for volumes/batches beyond one
+            # chip's HBM.  Exact-equivalent to the fused step (tested).
+            if dim != 3:
+                raise ValueError("--spatial applies to the 3D pipeline")
+            if mesh is None or mesh_lib.SPATIAL_AXIS not in mesh.axis_names:
+                raise ValueError("spatial>1 needs a mesh with a spatial axis")
+            from functools import partial
+
+            from pcrlv2_tpu.parallel.spatial_train import (
+                make_spatial_train_step, shard_views)
+
+            self._step_fn = jax.jit(
+                make_spatial_train_step(self.model, self.tx, mesh,
+                                        loss_guard=loss_guard),
+                donate_argnums=(0,),
+            )
+            self._shard_views = partial(shard_views, mesh=mesh)
+        else:
+            self._step_fn = jax.jit(
+                make_train_step(self.model, self.tx, dim=dim, aug_fn=None,
+                                loss_guard=loss_guard, mixup_alpha=cfg.mixup),
+                donate_argnums=(0,),
+            )
         os.makedirs(cfg.output, exist_ok=True)
         self.logger = MetricLogger(os.path.join(cfg.output, "metrics.jsonl"))
         self._global_step = 0
@@ -198,6 +221,8 @@ class Trainer:
             if self._aug_fn is not None:
                 kaug = step_key(cfg.seed, self._global_step, 1)
                 batch = self._aug_fn(kaug, batch)
+            if self._shard_views is not None:
+                batch = self._shard_views(batch)
             self.state, metrics = self._step_fn(
                 self.state, batch, key, jnp.float32(lr), jnp.int32(epoch))
             self._global_step += 1
