@@ -38,13 +38,36 @@ def _same_padding(kernel_spatial):
 
 
 def conv_impl() -> str:
-    """Which conv3d implementation to use: ``"xla"`` (default) or
-    ``"pallas"`` (the 27-tap MXU kernel in :mod:`pcrlv2_tpu.ops.pallas_conv`,
-    applicable to the 3³/stride-1/SAME convs the models are built from).
-    Select with ``PCRL_CONV3D=pallas``."""
+    """Which conv3d implementation to use:
+
+    * ``"xla"`` (default) — XLA's conv everywhere.  The Pallas kernels below
+      beat XLA *standalone* on select shapes but lose in the fused train
+      program (pad materialization + fusion barrier; BENCHMARKS.md), so XLA
+      stays the production default.
+    * ``"auto"`` — XLA, except the shapes where the im2col-packed Pallas
+      kernel measured ≥1.15× XLA standalone on v5e (bit-exact; see
+      ``pallas_conv.IM2COL_WIN_SHAPES``), on TPU backends only.
+    * ``"pallas"`` — the 27-tap manual-DMA kernel (historical; 0.4–0.95×).
+    * ``"im2col"`` — the im2col kernel for every eligible 3³ conv.
+
+    Select with ``PCRL_CONV3D=...``."""
     import os
 
     return os.environ.get("PCRL_CONV3D", "xla").lower()
+
+
+def _on_tpu() -> bool:
+    import jax
+
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _im2col_wins(x_shape, w_shape) -> bool:
+    """True for (D,H,W,Ci,Co) where the im2col Pallas kernel measured ≥1.15×
+    XLA (hardware numbers in BENCHMARKS.md)."""
+    from pcrlv2_tpu.ops.pallas_conv import IM2COL_WIN_SHAPES
+
+    return tuple(x_shape[1:4]) + (w_shape[3], w_shape[4]) in IM2COL_WIN_SHAPES
 
 
 def conv3d(
@@ -71,13 +94,22 @@ def conv3d(
         from pcrlv2_tpu.parallel.spatial import conv3d_local
 
         return conv3d_local(x, w, b, axis_name=ax)
-    if (conv_impl() == "pallas" and stride == 1 and w.shape[:3] == (3, 3, 3)
-            and padding is None):
+    impl = conv_impl()
+    eligible = stride == 1 and w.shape[:3] == (3, 3, 3) and padding is None
+    if impl == "pallas" and eligible:
         from pcrlv2_tpu.ops.pallas_conv import conv3d_pallas
 
         bias = (b if b is not None
                 else jnp.zeros((w.shape[-1],), x.dtype)).reshape(-1)
         return conv3d_pallas(x, w, bias)
+    if eligible and _on_tpu() and (
+            impl == "im2col"
+            or (impl == "auto" and _im2col_wins(x.shape, w.shape))):
+        from pcrlv2_tpu.ops.pallas_conv import conv3d_im2col
+
+        bias = (b if b is not None
+                else jnp.zeros((w.shape[-1],), x.dtype)).reshape(-1)
+        return conv3d_im2col(x, w, bias)
     if padding is None:
         padding = _same_padding(w.shape[:3])
     out = lax.conv_general_dilated(

@@ -281,3 +281,113 @@ def conv3d_reference(x, w, bias):
         x, w.astype(x.dtype), (1, 1, 1), [(1, 1)] * 3,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
     return out + bias.astype(out.dtype)
+
+
+# ---------------------------------------------------------------------------
+# im2col-packed forward kernel (v2) — beats XLA on select shapes
+# ---------------------------------------------------------------------------
+#
+# XLA's conv contracts only Ci per tap, so layers with Ci < 128 run at
+# ~Ci/128 of the MXU rate.  This kernel lane-concatenates all 27 tap windows
+# (each reshaped to 2D (H·W, Ci) — the 3D concat has no Mosaic lowering)
+# into one (H·W, 27·Ci) operand and performs a single matmul with ~96 %
+# contraction packing.  The VPU concat costs real time, so it only wins when
+# the matmul is wide enough to amortize it — measured on v5e b=32 (bf16,
+# bit-exact vs XLA): (32,32,16) 64→128 at 1.21×, (16,16,8) 128→128 at 1.30×;
+# 0.7–0.95× elsewhere (BENCHMARKS.md).  ``conv3d`` dispatches it for the
+# measured-win shapes only.
+
+#: (D, H, W, Ci, Co) shapes where the im2col kernel measured ≥1.15× XLA.
+IM2COL_WIN_SHAPES = frozenset({
+    (32, 32, 16, 64, 128),   # encoder d1-ops1 at the LUNA operating point
+    (16, 16, 8, 128, 128),   # encoder d2-ops0
+})
+
+
+def _im2col_kernel(x0, x1, x2, w_ref, b_ref, out_ref, acc):
+    h_out, w_out = out_ref.shape[2], out_ref.shape[3]
+    ci = x0.shape[-1]
+    hw = h_out * w_out
+
+    acc[...] = jnp.broadcast_to(
+        b_ref[0].astype(jnp.float32), (hw, out_ref.shape[-1]))
+    planes = (x0, x1, x2)
+    cols = jnp.concatenate(
+        [planes[td][0, 0, th:th + h_out, tw:tw + w_out, :].reshape(hw, ci)
+         for td in range(3) for th in range(3) for tw in range(3)], axis=-1)
+    acc[...] += jnp.dot(cols, w_ref[0], preferred_element_type=jnp.float32)
+    out_ref[0, 0] = acc[...].reshape(
+        h_out, w_out, out_ref.shape[-1]).astype(out_ref.dtype)
+
+
+def _im2col_fwd(x: jax.Array, w: jax.Array, bias: jax.Array) -> jax.Array:
+    bsz, d, h, wd, ci = x.shape
+    co = w.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    wmat = w.astype(x.dtype).reshape(1, 27 * ci, co)
+
+    def xspec(k):
+        # three depth-shifted streams of the same padded array give the
+        # overlapping halo; Mosaic double-buffers each stream automatically
+        return pl.BlockSpec((1, 1, h + 2, wd + 2, ci),
+                            lambda b, dd, k=k: (b, dd + k, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        _im2col_kernel,
+        grid=(bsz, d),
+        in_specs=[xspec(0), xspec(1), xspec(2),
+                  pl.BlockSpec((1, 27 * ci, co), lambda b, dd: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, co), lambda b, dd: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, h, wd, co),
+                               lambda b, dd: (b, dd, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, d, h, wd, co), x.dtype),
+        scratch_shapes=[pltpu.VMEM((h * wd, co), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * d * h * wd * 27 * ci * co,
+            bytes_accessed=3 * xp.size * x.dtype.itemsize
+            + bsz * d * h * wd * co * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(xp, xp, xp, wmat, bias.astype(x.dtype).reshape(1, co))
+
+
+@jax.custom_vjp
+def conv3d_im2col(x: jax.Array, w: jax.Array, bias: jax.Array) -> jax.Array:
+    """SAME 3³ conv: Pallas im2col forward, lax-transpose backward (the
+    backward shapes aren't in the kernel's win set, so XLA keeps them)."""
+    return _im2col_fwd(x, w, bias)
+
+
+def _im2col_vjp_fwd(x, w, bias):
+    # residuals must be jax types — an empty array carries the bias dtype
+    return _im2col_fwd(x, w, bias), (x, w, jnp.zeros((0,), bias.dtype))
+
+
+def _im2col_vjp_bwd(res, g):
+    x, w, bias_proto = res
+    bias_dtype = bias_proto.dtype
+
+    def conv_x(x_):
+        return jax.lax.conv_general_dilated(
+            x_, w.astype(x.dtype), (1, 1, 1), [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+    def conv_w(w_):
+        return jax.lax.conv_general_dilated(
+            x, w_, (1, 1, 1), [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+    dx = jax.linear_transpose(conv_x, x)(g)[0]
+    dw = jax.linear_transpose(conv_w, w.astype(x.dtype))(g)[0].astype(w.dtype)
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2, 3)).astype(bias_dtype)
+    return dx, dw, db
+
+
+conv3d_im2col.defvjp(_im2col_vjp_fwd, _im2col_vjp_bwd)
