@@ -63,6 +63,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
                 ctypes.c_int]
+            for name, in_t in (("pcrl_resample_i16_to_xyz", ctypes.c_int16),
+                               ("pcrl_resample_f32_to_xyz", ctypes.c_float)):
+                fn = getattr(lib, name)
+                fn.restype = None
+                fn.argtypes = [
+                    ctypes.POINTER(in_t),
+                    ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                    ctypes.c_double, ctypes.c_double, ctypes.c_double,
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                    ctypes.c_int]
             if lib.pcrl_version() != 1:
                 return None
             _lib = lib
@@ -116,4 +127,38 @@ def read_batch(paths: Sequence[str], out: np.ndarray,
     if rc != 0:
         bad = int(-rc) - 1
         raise IOError(f"pcrl_read_batch failed on {paths[bad]}")
+    return out
+
+
+def resample_to_xyz(arr_zyx: np.ndarray, scales_zyx: Sequence[float],
+                    out_shape_zyx: Sequence[int],
+                    n_threads: int = 0) -> Optional[np.ndarray]:
+    """Fused trilinear resample + float32 + (z,y,x)→(x,y,z) transpose — the
+    native replacement for the reference's SimpleITK resampler
+    (``native/pcrl_resample.cpp``).
+
+    ``scales_zyx[d] = out_spacing/in_spacing`` per axis: output voxel ``i``
+    samples input continuous index ``i·scale`` (clamped).  Returns the
+    (x, y, z) C-order float32 volume, or None when the native library is
+    unavailable (callers fall back to the NumPy path in ``preprocess.mhd``).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    if arr_zyx.dtype == np.int16:
+        fn, ptr_t = lib.pcrl_resample_i16_to_xyz, ctypes.c_int16
+    elif arr_zyx.dtype == np.float32:
+        fn, ptr_t = lib.pcrl_resample_f32_to_xyz, ctypes.c_float
+    else:
+        return None
+    arr_zyx = np.ascontiguousarray(arr_zyx)
+    zi, yi, xi = arr_zyx.shape
+    zo, yo, xo = out_shape_zyx
+    out = np.empty((xo, yo, zo), np.float32)
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 16)
+    fn(arr_zyx.ctypes.data_as(ctypes.POINTER(ptr_t)), zi, yi, xi,
+       float(scales_zyx[0]), float(scales_zyx[1]), float(scales_zyx[2]),
+       out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), zo, yo, xo,
+       n_threads)
     return out

@@ -149,6 +149,24 @@ def resample_isotropic(img: MetaImage, out_spacing=(1.0, 1.0, 1.0)) -> MetaImage
 
 def load_volume_1mm(path: str) -> np.ndarray:
     """Read + resample + transpose to (x, y, z) — the reference's full load
-    path (``luna_preprocess.py:288-290``)."""
-    img = resample_isotropic(read_mhd(path))
+    path (``luna_preprocess.py:288-290``).
+
+    Uses the native C++ fused resample+transpose kernel
+    (``native/pcrl_resample.cpp`` — the SimpleITK-replacement) when the
+    library builds; NumPy separable path otherwise (same sampling semantics).
+    """
+    img = read_mhd(path)
+    out_spacing = (1.0, 1.0, 1.0)
+    in_sp = img.spacing[::-1]        # (z, y, x)
+    out_sp = list(out_spacing)[::-1]
+    out_size = [int(img.array.shape[d] * in_sp[d] / out_sp[d] + 0.5)
+                for d in range(3)]
+    if img.array.dtype in (np.int16, np.float32):
+        from pcrlv2_tpu import native
+
+        scales = [out_sp[d] / in_sp[d] for d in range(3)]
+        out = native.resample_to_xyz(img.array, scales, out_size)
+        if out is not None:
+            return out
+    img = resample_isotropic(img, out_spacing)
     return np.ascontiguousarray(img.array.transpose(2, 1, 0))

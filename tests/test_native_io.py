@@ -85,3 +85,44 @@ def test_luna_batch_reader_in_host_loader(tmp_path):
     np.testing.assert_array_equal(batches[0]["pair"], plain_batches[0]["pair"])
     np.testing.assert_array_equal(batches[1]["locals"],
                                   plain_batches[1]["locals"])
+
+
+def test_native_resample_matches_numpy_path():
+    """The fused C++ resample+transpose (pcrl_resample.cpp) must agree with
+    the NumPy separable resampler to fp rounding, int16 and float32."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    from pcrlv2_tpu.preprocess import mhd
+
+    rng = np.random.RandomState(3)
+    for dtype in (np.int16, np.float32):
+        vol = (rng.rand(20, 24, 28) * 2000 - 1000).astype(dtype)
+        img = mhd.MetaImage(array=vol, spacing=[0.7, 0.8, 1.3])
+        ref = np.ascontiguousarray(
+            mhd.resample_isotropic(img).array.transpose(2, 1, 0))
+        in_sp = img.spacing[::-1]
+        out_size = [int(vol.shape[d] * in_sp[d] + 0.5) for d in range(3)]
+        out = native.resample_to_xyz(vol, [1.0 / s for s in in_sp], out_size)
+        assert out is not None and out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, atol=2e-3)
+
+
+def test_load_volume_1mm_native_equals_fallback(tmp_path, monkeypatch):
+    """load_volume_1mm takes the native path when available and matches the
+    NumPy fallback."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    from pcrlv2_tpu.preprocess import mhd
+
+    rng = np.random.RandomState(4)
+    vol = (rng.rand(12, 16, 18) * 2000 - 1000).astype(np.int16)
+    raw = tmp_path / "case.raw"
+    raw.write_bytes(vol.tobytes())
+    (tmp_path / "case.mhd").write_text(
+        "ObjectType = Image\nNDims = 3\nDimSize = 18 16 12\n"
+        "ElementType = MET_SHORT\nElementSpacing = 0.9 1.1 1.4\n"
+        "ElementDataFile = case.raw\n")
+    got = mhd.load_volume_1mm(str(tmp_path / "case.mhd"))
+    monkeypatch.setattr(native, "resample_to_xyz", lambda *a, **k: None)
+    ref = mhd.load_volume_1mm(str(tmp_path / "case.mhd"))
+    np.testing.assert_allclose(got, ref, atol=2e-3)
