@@ -93,7 +93,26 @@ def build_parser() -> argparse.ArgumentParser:
                         help="depth-shard each 3D volume over this many chips "
                              "(halo-exchanged convs; for volumes/batches "
                              "beyond one chip's HBM — no reference analog)")
+    parser.add_argument("--multihost", action="store_true", default=False,
+                        help="initialize jax.distributed for multi-host "
+                             "(DCN) training — run one process per host; "
+                             "coordinator auto-detects on Cloud TPU. --b is "
+                             "the GLOBAL batch; each process loads its "
+                             "interleaved dataset slice and b/world samples "
+                             "(single-host environments can't exercise this "
+                             "path end-to-end — data plumbing is tested, "
+                             "state init on >1 hosts is not)")
     return parser
+
+
+def _process_slice(args) -> tuple:
+    """(process_index, process_count) for multi-host dataset sharding —
+    (0, 1) unless ``--multihost`` initialized jax.distributed."""
+    if not getattr(args, "multihost", False):
+        return 0, 1
+    import jax
+
+    return jax.process_index(), jax.process_count()
 
 
 class DataGenerator:
@@ -133,6 +152,14 @@ class DataGenerator:
             args.data, train_fold=range(7), valid_fold=range(7, 10),
             test_fold=range(7, 10), suffix="_global_", file_list=uids)
         print(f"total train images {len(x_train)}, validation images {len(x_valid)}")
+        rank, world = _process_slice(args)
+        if world > 1:
+            # multi-host: each process loads its interleaved dataset slice
+            # and a b/world local batch; shard_batch assembles the global
+            # array over DCN (core/mesh.py)
+            x_train = x_train[rank::world]
+            x_valid = x_valid[rank::world]
+            args = argparse.Namespace(**{**vars(args), "b": args.b // world})
         from pcrlv2_tpu import native
         from pcrlv2_tpu.data.pipeline import LunaBatchReader
 
@@ -160,6 +187,10 @@ class DataGenerator:
         names, _labels = get_chest_list(txt, args.data)
         names = names[: int(len(names) * args.ratio)]
         print(f"total train images {len(names)}")
+        rank, world = _process_slice(args)
+        if world > 1:
+            names = names[rank::world]
+            args = argparse.Namespace(**{**vars(args), "b": args.b // world})
         train = HostLoader(names, args.b, partial(load_chest_sample),
                            shuffle=True, seed=args.seed,
                            num_workers=args.workers)
@@ -217,6 +248,13 @@ def main(argv=None) -> None:
     import jax.numpy as jnp
 
     from pcrlv2_tpu.core.mesh import DATA_AXIS, SPATIAL_AXIS, create_mesh
+
+    if args.multihost:
+        from pcrlv2_tpu.core.mesh import init_distributed
+
+        init_distributed()
+        print(f"==> multihost: process {jax.process_index()} of "
+              f"{jax.process_count()}, {jax.device_count()} global devices")
     from pcrlv2_tpu.core.precision import DEFAULT_POLICY, PARITY_POLICY
     from pcrlv2_tpu.data.augment2d import make_chest_aug_fn
     from pcrlv2_tpu.data.augment3d import make_luna_aug_fn

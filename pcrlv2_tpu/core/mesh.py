@@ -73,11 +73,40 @@ def shard_batch(mesh: Mesh, batch):
     """Device-put a pytree of host arrays with the leading dim sharded on ``data``.
 
     Every leaf must have a leading batch dimension divisible by the ``data``
-    axis size.
+    axis size.  Multi-host (DCN) runs: each process passes its *local* batch
+    shard and the leaves are assembled into global arrays
+    (``jax.make_array_from_process_local_data``) — single-host runs take the
+    plain ``device_put`` path.
     """
+    multihost = jax.process_count() > 1
 
     def _put(x):
         x = np.asarray(x)
-        return jax.device_put(x, batch_sharding(mesh, x.ndim))
+        sharding = batch_sharding(mesh, x.ndim)
+        if multihost:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(_put, batch)
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Initialize multi-host JAX (one process per host; collectives ride ICI
+    within a slice and DCN across slices — same ``psum``, no code changes).
+
+    On Cloud TPU all three arguments auto-detect from the metadata server;
+    pass them explicitly elsewhere.  The reference has no multi-node story at
+    all (single-process ``nn.DataParallel``, reference ``train_2d.py:75``) —
+    this is the scale-out path the mesh abstraction was designed for:
+    ``create_mesh`` already builds over the *global* ``jax.devices()``.
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
