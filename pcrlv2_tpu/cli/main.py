@@ -194,7 +194,9 @@ class DataGenerator:
         train = HostLoader(names, args.b, partial(load_chest_sample),
                            shuffle=True, seed=args.seed,
                            num_workers=args.workers)
-        return {"train": train, "eval": None}
+        # the reference's chest eval loader aliases the train pipeline
+        # (reference data.py:58-59); eval views use a fixed PRNG key
+        return {"train": train, "eval": train}
 
 
 def _synthetic_loader(args, dim: int):

@@ -146,7 +146,13 @@ class Trainer:
         raise NotImplementedError("2D eval uses the aug_fn views directly")
 
     def evaluate(self, batch_iter, max_batches: int = 50) -> dict:
-        """Average eval loss over ``batch_iter`` (un-corrupted views)."""
+        """Average eval loss over ``batch_iter``.
+
+        3D: un-corrupted views built directly from the raw crop pairs.
+        2D: views from the augmentation pipeline under a FIXED key per batch
+        index — deterministic, and mirrors the reference's chest eval loader,
+        which aliases the train pipeline (reference ``data.py:58-59``).
+        """
         if self._eval_fn is None:
             self._eval_fn = self._build_eval_fn()
         meters = {k: AverageMeter() for k in
@@ -154,7 +160,12 @@ class Trainer:
         for i, batch in enumerate(batch_iter):
             if i >= max_batches:
                 break
-            views = self.raw_batch_to_views(batch, self.dim)
+            if self.dim == 2:
+                if self._aug_fn is None:
+                    raise ValueError("2D eval needs the augmentation fn")
+                views = self._aug_fn(step_key(self.cfg.seed, i, 2), batch)
+            else:
+                views = self.raw_batch_to_views(batch, self.dim)
             metrics = jax.device_get(
                 self._eval_fn(self.state.params, self.state.batch_stats,
                               views, step_key(self.cfg.seed, i)))
@@ -284,7 +295,7 @@ def run_training(model, cfg: TrainConfig, loader, aug_fn, dim: int,
                 stats = trainer.train_epoch(epoch, it)
             print(f"epoch {epoch}, total time {time.time() - t0:.2f}")
             if (eval_loader is not None and cfg.eval_every
-                    and epoch % cfg.eval_every == 0 and dim == 3):
+                    and epoch % cfg.eval_every == 0):
                 ev = trainer.evaluate(eval_loader.epoch(epoch))
                 trainer.logger.log({"epoch": epoch, "eval": ev})
                 print(f"eval: {ev}")

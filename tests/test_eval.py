@@ -80,3 +80,24 @@ def test_resume_continues_from_saved_epoch(tmp_path):
     for a, b in zip(jax.tree.leaves(trainer.state.params),
                     jax.tree.leaves(trainer2.state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_evaluate_2d_uses_aug_views(tmp_path):
+    """2D eval builds views through the augmentation pipeline under a fixed
+    key (the reference's chest eval loader aliases the train pipeline,
+    reference data.py:58-59) and is deterministic."""
+    from pcrlv2_tpu.data.augment2d import make_chest_aug_fn
+    from pcrlv2_tpu.models import PCRLv2
+
+    cfg = TrainConfig(b=2, d=2, output=str(tmp_path), seed=0)
+    model = PCRLv2()
+    sample = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    aug = make_chest_aug_fn(n_local=2, global_size=64, local_size=32)
+    trainer = Trainer(model, cfg, aug_fn=aug, dim=2, sample_batch=sample)
+
+    rng = np.random.RandomState(0)
+    batches = [{"image": rng.rand(2, 96, 96, 3).astype(np.float32)}]
+    s1 = trainer.evaluate(iter(batches))
+    s2 = trainer.evaluate(iter(batches))
+    assert np.isfinite(s1["loss"])
+    assert s1 == s2
