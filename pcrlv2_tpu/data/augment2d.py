@@ -21,6 +21,12 @@ Documented deviations from torchvision (loss-curve-level, not bit-level):
   (torchvision shuffles the order per call).
 * Crops are cut from the fixed canvas rather than the native-resolution file;
   set ``canvas`` to the native size for full fidelity.
+
+Layout: every op here works CHANNELS-FIRST (C, H, W).  With channels last,
+each elementwise pass puts C=3 on the 128-lane axis — ~42x register/memory
+padding on TPU; CHW puts W on the lanes instead (measured: the full aug
+program dropped 96 -> ~20 ms at b=64).  ``make_chest_aug_fn`` transposes at
+the batch boundary, so the external contract stays NHWC.
 """
 
 from __future__ import annotations
@@ -101,7 +107,7 @@ def _resize_matrix(out_n: int, in_n: int, scale, translation) -> jax.Array:
 
 
 def crop_and_resize(img: jax.Array, box, out_size: int) -> jax.Array:
-    """Resize the (i, j, h, w) box of HWC ``img`` to ``out_size²`` with a
+    """Resize the (i, j, h, w) box of CHW ``img`` to ``out_size²`` with a
     linear antialiasing filter (PIL-resize equivalent).
 
     Implemented as two explicit matmuls against banded resize operators —
@@ -112,16 +118,16 @@ def crop_and_resize(img: jax.Array, box, out_size: int) -> jax.Array:
     i, j, h, w = box
     scale = jnp.array([out_size / h, out_size / w])
     translation = -jnp.array([i, j]) * scale
-    wh = _resize_matrix(out_size, img.shape[0], scale[0], translation[0])
-    ww = _resize_matrix(out_size, img.shape[1], scale[1], translation[1])
-    t = jnp.einsum("oh,hwc->owc", wh, img)
-    return jnp.einsum("pw,owc->opc", ww, t)
+    wh = _resize_matrix(out_size, img.shape[1], scale[0], translation[0])
+    ww = _resize_matrix(out_size, img.shape[2], scale[1], translation[1])
+    t = jnp.einsum("oh,chw->cow", wh, img)
+    return jnp.einsum("pw,cow->cop", ww, t)
 
 
 def _rotate_exact(img: jax.Array, theta) -> jax.Array:
     """Gather-based nearest rotation (torchvision ``RandomRotation`` default
     semantics).  Slow on TPU — the golden path for parity tests."""
-    h, w = img.shape[:2]
+    h, w = img.shape[1], img.shape[2]
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
@@ -131,7 +137,7 @@ def _rotate_exact(img: jax.Array, theta) -> jax.Array:
     out = jax.vmap(
         lambda ch: map_coordinates(ch, [src_y, src_x], order=0,
                                    mode="constant", cval=0.0),
-        in_axes=-1, out_axes=-1)(img)
+        in_axes=0, out_axes=0)(img)
     return out
 
 
@@ -139,40 +145,46 @@ def _unit_shear(img: jax.Array, axis: int, lam, max_shift: int) -> jax.Array:
     """Resample axis ``axis`` at ``x_k + λ·(x_j − c_j)`` (centered unit shear,
     linear interp, zero fill) without gathers.
 
-    The per-line shift is small (|λ| ≤ sin 10° for the rotation shears) and
-    integer-quantized, so the shear is a masked sum over 2·``max_shift``+1
-    STATIC rolls: out = Σ_k [s_line == k] ⊙ ((1−f)·roll_k + f·roll_{k+1}),
-    each roll a slice-concat XLA fuses.  ~20× faster than the gather on TPU.
+    The integer part of the per-line shift is applied as BIT-DECOMPOSED
+    conditional rolls: roll the whole image by 2^b and select it per line
+    where bit b of (shift + max_shift) is set — ``log2`` passes instead of
+    one masked pass per possible shift (the previous masked-sum formulation
+    cost ~100 array passes per shear at 224²; this one ~16, measured ~4×
+    faster end-to-end).  Rolls wrap, so source positions outside the extent
+    are zeroed per interpolation tap at the end (same semantics).
     """
-    h, w = img.shape[:2]
-    n_k = img.shape[axis]
-    n_j = img.shape[1 - axis]
+    n_k = img.shape[1 + axis]
+    n_j = img.shape[2 - axis]
     c_j = (n_j - 1) / 2.0
     jc = jnp.arange(n_j, dtype=jnp.float32) - c_j
     t = lam * jc                                   # shift per line
     s = jnp.floor(t)
     f = (t - s)
-    if axis == 0:
-        shape = (1, n_j, 1)
-        i_idx = jnp.arange(n_k).reshape(n_k, 1, 1)
-    else:
-        shape = (n_j, 1, 1)
+    if axis == 0:          # shift along y, per x-column
+        shape = (1, 1, n_j)
         i_idx = jnp.arange(n_k).reshape(1, n_k, 1)
-    s = s.reshape(shape)
-    f = f.reshape(shape)
+    else:                  # shift along x, per y-row
+        shape = (1, n_j, 1)
+        i_idx = jnp.arange(n_k).reshape(1, 1, n_k)
+    f_l = f.reshape(shape)
+    s_l = s.reshape(shape)
 
-    out = jnp.zeros_like(img)
-    rolled = {k: jnp.roll(img, -k, axis=axis)
-              for k in range(-max_shift, max_shift + 2)}
-    for k in range(-max_shift, max_shift + 1):
-        line_mask = (s == k).astype(img.dtype)
-        # zero-fill outside the source extent (per contributing tap)
-        v0 = jnp.where((i_idx + k >= 0) & (i_idx + k <= n_k - 1),
-                       rolled[k], 0.0)
-        v1 = jnp.where((i_idx + k + 1 >= 0) & (i_idx + k + 1 <= n_k - 1),
-                       rolled[k + 1], 0.0)
-        out = out + line_mask * ((1.0 - f) * v0 + f * v1)
-    return out
+    roll_axis = 1 + axis
+    # out[o] should read img[o + s]; start from the common -max_shift offset
+    # so the remaining per-line shift (s + max_shift) is non-negative
+    cur = jnp.roll(img, max_shift, axis=roll_axis)
+    sh = (s + max_shift).astype(jnp.int32).reshape(shape)
+    b = 1
+    while b <= 2 * max_shift + 1:
+        rolled = jnp.roll(cur, -b, axis=roll_axis)
+        cur = jnp.where((sh & b) != 0, rolled, cur)
+        b <<= 1
+    nxt = jnp.roll(cur, -1, axis=roll_axis)
+
+    src = i_idx.astype(jnp.float32) + s_l
+    v0 = jnp.where((src >= 0) & (src <= n_k - 1), cur, 0.0)
+    v1 = jnp.where((src + 1 >= 0) & (src + 1 <= n_k - 1), nxt, 0.0)
+    return (1.0 - f_l) * v0 + f_l * v1
 
 
 def _rotate_shear(img: jax.Array, theta, degrees: float) -> jax.Array:
@@ -185,7 +197,7 @@ def _rotate_shear(img: jax.Array, theta, degrees: float) -> jax.Array:
     """
     a = -jnp.tan(theta / 2.0)
     b = jnp.sin(theta)
-    h, w = img.shape[:2]
+    h, w = img.shape[1], img.shape[2]
     rad = degrees * np.pi / 180.0
     m_yx = int(np.ceil(np.tan(rad / 2) * ((w - 1) / 2))) + 1
     m_xy = int(np.ceil(np.sin(rad) * ((h - 1) / 2))) + 1
@@ -216,7 +228,7 @@ def random_rotate(key, img: jax.Array, degrees: float = 10.0,
 
 
 def random_hflip(key, img: jax.Array, p: float = 0.5) -> jax.Array:
-    return jnp.where(jax.random.bernoulli(key, p), jnp.flip(img, axis=1), img)
+    return jnp.where(jax.random.bernoulli(key, p), jnp.flip(img, axis=2), img)
 
 
 def spatial_view(key, img, img_hw, out_size: int, scale) -> jax.Array:
@@ -235,11 +247,11 @@ def spatial_view(key, img, img_hw, out_size: int, scale) -> jax.Array:
 
 def rgb_to_gray(img: jax.Array) -> jax.Array:
     """ITU-R 601-2 luma (PIL ``convert('L')`` / torchvision grayscale)."""
-    return (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])
+    return (0.299 * img[0] + 0.587 * img[1] + 0.114 * img[2])
 
 
 def random_grayscale(key, img, p: float = 0.2):
-    g = rgb_to_gray(img)[..., None]
+    g = rgb_to_gray(img)[None]
     return jnp.where(jax.random.bernoulli(key, p),
                      jnp.broadcast_to(g, img.shape), img)
 
@@ -250,7 +262,7 @@ def gaussian_blur_2d(img: jax.Array, sigma) -> jax.Array:
     from pcrlv2_tpu.ops.blur import blur_axis, gaussian_kernel
 
     w = gaussian_kernel(sigma)
-    return blur_axis(blur_axis(img, w, 0, "edge"), w, 1, "edge")
+    return blur_axis(blur_axis(img, w, 1, "edge"), w, 2, "edge")
 
 
 def random_blur_2d(key, img, sigma_range=(0.1, 2.0), p: float = 0.5):
@@ -262,7 +274,7 @@ def random_blur_2d(key, img, sigma_range=(0.1, 2.0), p: float = 0.5):
 
 
 def _rgb_to_hsv(img):
-    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    r, g, b = img[0], img[1], img[2]
     maxc = jnp.maximum(jnp.maximum(r, g), b)
     minc = jnp.minimum(jnp.minimum(r, g), b)
     v = maxc
@@ -292,7 +304,7 @@ def _hsv_to_rgb(h, s, v):
                    [t, v, v, q, p, p])
     b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
                    [p, p, t, v, v, q])
-    return jnp.stack([r, g, b], axis=-1)
+    return jnp.stack([r, g, b], axis=0)
 
 
 def color_jitter(key, img, brightness=0.4, contrast=0.4, saturation=0.4,
@@ -309,7 +321,7 @@ def color_jitter(key, img, brightness=0.4, contrast=0.4, saturation=0.4,
     img = jnp.clip((img - mean) * fc + mean, 0.0, 1.0)
     fs = jax.random.uniform(ks, (), minval=max(0.0, 1 - saturation),
                             maxval=1 + saturation)
-    gray = rgb_to_gray(img)[..., None]
+    gray = rgb_to_gray(img)[None]
     img = jnp.clip((img - gray) * fs + gray, 0.0, 1.0)
     fh = jax.random.uniform(kh, (), minval=-hue, maxval=hue)
     h, s, v = _rgb_to_hsv(img)
@@ -318,13 +330,13 @@ def color_jitter(key, img, brightness=0.4, contrast=0.4, saturation=0.4,
 
 
 def normalize_imagenet(img):
-    return (img - IMAGENET_MEAN) / IMAGENET_STD
+    return (img - IMAGENET_MEAN[:, None, None]) / IMAGENET_STD[:, None, None]
 
 
 def cutout(key, img, n_holes: int = 3, length: int = 32):
     """Reference ``Cutout`` (``utils.py:60-98``): square holes centered at
     uniform pixels, clipped at borders, zeroing *normalized* values."""
-    h, w = img.shape[:2]
+    h, w = img.shape[1], img.shape[2]
     yy = jnp.arange(h)[:, None]
     xx = jnp.arange(w)[None, :]
     mask = jnp.ones((h, w), jnp.float32)
@@ -335,7 +347,7 @@ def cutout(key, img, n_holes: int = 3, length: int = 32):
         hole = ((yy >= cy - length // 2) & (yy < cy + length // 2)
                 & (xx >= cx - length // 2) & (xx < cx + length // 2))
         mask = mask * (1.0 - hole.astype(jnp.float32))
-    return img * mask[..., None]
+    return img * mask[None]
 
 
 def corrupt_view(key, img, with_cutout: bool):
@@ -361,6 +373,7 @@ def _augment_one_2d(key, img, hw, n_local: int, global_size: int,
     """Per-image pipeline of ``Pcrlv2ChestPretask.__getitem__``
     (reference ``chestDataset.py:31-48``)."""
     keys = jax.random.split(key, 4 + 2 * n_local)
+    img = jnp.transpose(img, (2, 0, 1))  # CHW for the whole pipeline
     y1 = spatial_view(keys[0], img, hw, global_size, (0.3, 1.0))
     y2 = spatial_view(keys[1], img, hw, global_size, (0.3, 1.0))
     gt1 = normalize_imagenet(y1)
@@ -374,7 +387,9 @@ def _augment_one_2d(key, img, hw, n_local: int, global_size: int,
 
     locals_out = jax.vmap(local_view)(keys[4:4 + n_local],
                                       keys[4 + n_local:4 + 2 * n_local])
-    return x1, x2, gt1, gt2, locals_out
+    hwc = lambda v: jnp.transpose(v, (1, 2, 0))
+    return (hwc(x1), hwc(x2), hwc(gt1), hwc(gt2),
+            jnp.transpose(locals_out, (0, 2, 3, 1)))
 
 
 def make_chest_aug_fn(n_local: int = 6, global_size: int = 224,

@@ -1,6 +1,7 @@
 """2D augmentation tests: crop/resize numerics vs jax.image, shear-rotation
 geometry vs the exact gather path, corruption semantics, full-pipeline shapes
-(reference transform stack ``data.py:19-44``)."""
+(reference transform stack ``data.py:19-44``).  Core ops are channels-first
+(see augment2d's layout note); the batch aug fn stays NHWC."""
 
 import numpy as np
 import pytest
@@ -14,15 +15,17 @@ from pcrlv2_tpu.data import augment2d as A
 def test_crop_and_resize_matches_jax_image():
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.rand(128, 128, 3).astype(np.float32))
+    img_chw = jnp.transpose(img, (2, 0, 1))
     for box in [(10.3, 20.7, 60.2, 80.9), (0.0, 0.0, 128.0, 128.0),
                 (5.5, 3.3, 20.0, 30.0)]:
-        got = A.crop_and_resize(img, tuple(jnp.float32(v) for v in box), 64)
+        got = A.crop_and_resize(img_chw, tuple(jnp.float32(v) for v in box),
+                                64)
         scale = jnp.array([64 / box[2], 64 / box[3]])
         ref = jax.image.scale_and_translate(
             img, (64, 64, 3), (0, 1), scale,
             -jnp.array(box[:2]) * scale, method="linear", antialias=True)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(jnp.transpose(got, (1, 2, 0))),
+                                   np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
 def test_resized_crop_box_within_bounds():
@@ -37,12 +40,12 @@ def test_resized_crop_box_within_bounds():
 
 def test_rotate_shear_geometry_matches_exact():
     """Off-center point features land on the same pixel in both backends."""
-    x = np.zeros((65, 65, 1), np.float32)
-    x[45, 30, 0] = 1.0
+    x = np.zeros((1, 65, 65), np.float32)
+    x[0, 45, 30] = 1.0
     for deg in (-9.0, 4.0, 9.5):
         th = jnp.float32(np.deg2rad(deg))
-        a = np.asarray(A._rotate_shear(jnp.asarray(x), th, 10.0))[..., 0]
-        b = np.asarray(A._rotate_exact(jnp.asarray(x), th))[..., 0]
+        a = np.asarray(A._rotate_shear(jnp.asarray(x), th, 10.0))[0]
+        b = np.asarray(A._rotate_exact(jnp.asarray(x), th))[0]
         pa = np.unravel_index(a.argmax(), a.shape)
         pb = np.unravel_index(b.argmax(), b.shape)
         assert pa == pb, f"{deg}°: shear peak {pa} != exact peak {pb}"
@@ -51,10 +54,10 @@ def test_rotate_shear_geometry_matches_exact():
 
 def test_rotate_shear_close_to_exact_on_smooth_field():
     gy, gx = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
-    sm = ((np.sin(gy / 9) * np.cos(gx / 7) + 1) / 2).astype(np.float32)[..., None]
+    sm = ((np.sin(gy / 9) * np.cos(gx / 7) + 1) / 2).astype(np.float32)[None]
     th = jnp.float32(np.deg2rad(7))
-    a = np.asarray(A._rotate_shear(jnp.asarray(sm), th, 10.0))
-    b = np.asarray(A._rotate_exact(jnp.asarray(sm), th))
+    a = np.asarray(A._rotate_shear(jnp.asarray(sm), th, 10.0))[0]
+    b = np.asarray(A._rotate_exact(jnp.asarray(sm), th))[0]
     ctr = (slice(16, 48), slice(16, 48))
     # bounded by nearest-vs-linear interpolation difference (~0.5px · |∇|)
     assert np.abs(a - b)[ctr].max() < 0.06
@@ -62,13 +65,13 @@ def test_rotate_shear_close_to_exact_on_smooth_field():
 
 def test_rotate_zero_angle_is_identity():
     rng = np.random.RandomState(1)
-    img = jnp.asarray(rng.rand(32, 32, 3).astype(np.float32))
+    img = jnp.asarray(rng.rand(3, 32, 32).astype(np.float32))
     out = A._rotate_shear(img, jnp.float32(0.0), 10.0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
 
 
 def test_cutout_zeroes_holes():
-    img = jnp.ones((64, 64, 3))
+    img = jnp.ones((3, 64, 64))
     out = np.asarray(A.cutout(jax.random.key(0), img))
     assert out.min() == 0.0 and out.max() == 1.0
     assert (out == 0).mean() > 0.01  # some area removed
