@@ -115,6 +115,21 @@ def _process_slice(args) -> tuple:
     return jax.process_index(), jax.process_count()
 
 
+def _shard_for_process(args, *lists):
+    """Multi-host: interleaved per-process dataset slices + a local args copy
+    with the b/world per-process batch (``--b`` is the GLOBAL batch;
+    ``shard_batch`` assembles the global array over DCN).  Single-host:
+    passthrough."""
+    rank, world = _process_slice(args)
+    if world == 1:
+        return args, lists
+    if args.b % world:
+        raise SystemExit(
+            f"global batch {args.b} not divisible by {world} processes")
+    local = argparse.Namespace(**{**vars(args), "b": args.b // world})
+    return local, tuple(lst[rank::world] for lst in lists)
+
+
 class DataGenerator:
     """Per-(dataset, phase) loader builders (reference ``data.py:9-99``).
 
@@ -152,14 +167,7 @@ class DataGenerator:
             args.data, train_fold=range(7), valid_fold=range(7, 10),
             test_fold=range(7, 10), suffix="_global_", file_list=uids)
         print(f"total train images {len(x_train)}, validation images {len(x_valid)}")
-        rank, world = _process_slice(args)
-        if world > 1:
-            # multi-host: each process loads its interleaved dataset slice
-            # and a b/world local batch; shard_batch assembles the global
-            # array over DCN (core/mesh.py)
-            x_train = x_train[rank::world]
-            x_valid = x_valid[rank::world]
-            args = argparse.Namespace(**{**vars(args), "b": args.b // world})
+        args, (x_train, x_valid) = _shard_for_process(args, x_train, x_valid)
         from pcrlv2_tpu import native
         from pcrlv2_tpu.data.pipeline import LunaBatchReader
 
@@ -187,10 +195,7 @@ class DataGenerator:
         names, _labels = get_chest_list(txt, args.data)
         names = names[: int(len(names) * args.ratio)]
         print(f"total train images {len(names)}")
-        rank, world = _process_slice(args)
-        if world > 1:
-            names = names[rank::world]
-            args = argparse.Namespace(**{**vars(args), "b": args.b // world})
+        args, (names,) = _shard_for_process(args, names)
         train = HostLoader(names, args.b, partial(load_chest_sample),
                            shuffle=True, seed=args.seed,
                            num_workers=args.workers)
@@ -266,7 +271,19 @@ def main(argv=None) -> None:
     # device selection: reference pins CUDA_VISIBLE_DEVICES (main.py:44);
     # here --gpus picks how many local devices join the data axis.
     n_req = len([g for g in str(args.gpus).split(",") if g != ""])
-    n_dev = min(max(n_req, 1), jax.local_device_count())
+    if args.multihost:
+        # the mesh must span every process's devices; jax multi-process
+        # requires all addressable devices to participate
+        if max(n_req, 1) != jax.local_device_count():
+            raise SystemExit(
+                f"--multihost requires --gpus to name all "
+                f"{jax.local_device_count()} local devices")
+        n_dev = jax.device_count()
+        if args.b % jax.process_count():
+            raise SystemExit(f"global batch {args.b} not divisible by "
+                             f"{jax.process_count()} processes")
+    else:
+        n_dev = min(max(n_req, 1), jax.local_device_count())
     if args.spatial > 1:
         if n_dev % args.spatial:
             raise SystemExit(
@@ -277,8 +294,9 @@ def main(argv=None) -> None:
                            devices=jax.devices()[:n_dev])
     else:
         n_data = n_dev
-        mesh = create_mesh((DATA_AXIS,), shape=(n_dev,),
-                           devices=jax.devices()[:n_dev]) if n_dev > 1 else None
+        mesh = (create_mesh((DATA_AXIS,), shape=(n_dev,),
+                            devices=jax.devices()[:n_dev])
+                if (n_dev > 1 or args.multihost) else None)
     if args.b % n_data:
         raise SystemExit(f"batch {args.b} not divisible by {n_data} "
                          "data-parallel devices")

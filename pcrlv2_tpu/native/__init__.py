@@ -49,7 +49,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _load_attempted:
             return _lib
         _load_attempted = True
-        if not os.path.exists(_SO_PATH) and not _build():
+        # always run make: it is a no-op when the .so is fresh, and rebuilds
+        # a stale binary that predates newly added symbols
+        if not _build() and not os.path.exists(_SO_PATH):
             return None
         try:
             lib = ctypes.CDLL(_SO_PATH)
@@ -77,7 +79,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
             if lib.pcrl_version() != 1:
                 return None
             _lib = lib
-        except OSError:
+        except (OSError, AttributeError):
+            # AttributeError: a stale .so missing newly added symbols —
+            # fall back to NumPy rather than crash (ctypes raises
+            # AttributeError for undefined symbols)
             _lib = None
         return _lib
 

@@ -48,28 +48,11 @@ from pcrlv2_tpu.train.optimizer import apply_lr
 from pcrlv2_tpu.train.step import TrainState, _flatten_locals
 
 
-def make_spatial_train_step(
-    model,
-    tx: optax.GradientTransformation,
-    mesh: Mesh,
-    *,
-    dim: int = 3,
-    data_axis: str = DATA_AXIS,
-    spatial_axis: str = SPATIAL_AXIS,
-    loss_guard: Optional[float] = 1000.0,
-    guard_warmup_epochs: int = 10,
-    beta_period: float = 240.0,
-):
-    """Build the depth-sharded train step.
 
-    Returns ``step(state, views, key, lr, epoch) -> (state, metrics)`` for
-    ``jax.jit(..., donate_argnums=(0,))``.  ``views`` must hold the already-
-    augmented ``x1/x2/gt`` (B, D, H, W, C) and ``locals`` (B, V, d, h, w, C);
-    B must divide by the ``data`` axis size and D by ``spatial``·8 (three 2×
-    pools).  Parameters stay replicated; only activations are sharded.
-    """
-    if dim != 3:
-        raise ValueError("spatial sharding applies to the 3D volume pipeline")
+def _make_local_loss_fn(model, data_axis: str, spatial_axis: str,
+                        beta_period: float):
+    """Per-shard 4-term loss (inside shard_map): every term pmean'd to the
+    exact global value.  Shared by the train step and the sharded eval."""
     axes = (data_axis, spatial_axis)
 
     def unpack(outs):
@@ -77,7 +60,6 @@ def make_spatial_train_step(
         return out, feats, masks
 
     def local_loss_fn(params, batch_stats, views, key, epoch):
-        """Per-shard loss: every term pmean'd to the exact global value."""
         x1, x2, gt, local_views = (
             views["x1"], views["x2"], views["gt"], views["locals"])
         variables = {"params": params, "batch_stats": batch_stats}
@@ -143,6 +125,35 @@ def make_spatial_train_step(
         }
         return total, (updL["batch_stats"], metrics)
 
+    return local_loss_fn
+
+
+def make_spatial_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    *,
+    dim: int = 3,
+    data_axis: str = DATA_AXIS,
+    spatial_axis: str = SPATIAL_AXIS,
+    loss_guard: Optional[float] = 1000.0,
+    guard_warmup_epochs: int = 10,
+    beta_period: float = 240.0,
+):
+    """Build the depth-sharded train step.
+
+    Returns ``step(state, views, key, lr, epoch) -> (state, metrics)`` for
+    ``jax.jit(..., donate_argnums=(0,))``.  ``views`` must hold the already-
+    augmented ``x1/x2/gt`` (B, D, H, W, C) and ``locals`` (B, V, d, h, w, C);
+    B must divide by the ``data`` axis size and D by ``spatial``·8 (three 2×
+    pools).  Parameters stay replicated; only activations are sharded.
+    """
+    if dim != 3:
+        raise ValueError("spatial sharding applies to the 3D volume pipeline")
+    axes = (data_axis, spatial_axis)
+    local_loss_fn = _make_local_loss_fn(model, data_axis, spatial_axis,
+                                        beta_period)
+
     def shard_body(params, batch_stats, views, key, epoch):
         grad_fn = jax.value_and_grad(local_loss_fn, has_aux=True)
         (loss, (new_stats, metrics)), grads = grad_fn(
@@ -202,6 +213,41 @@ def make_spatial_train_step(
         return new_state, metrics
 
     return step
+
+
+def make_spatial_eval_fn(model, mesh: Mesh, *, data_axis: str = DATA_AXIS,
+                         spatial_axis: str = SPATIAL_AXIS,
+                         beta_period: float = 240.0):
+    """Depth-sharded eval: the 4-term loss value only, same sharding as the
+    train step — so `--eval_every` works in exactly the regime `--spatial`
+    exists for (volumes/batches beyond one chip's HBM).
+
+    Returns ``eval_fn(params, batch_stats, views, key) -> metrics`` (views
+    pre-sharded with :func:`shard_views`).
+    """
+    local_loss_fn = _make_local_loss_fn(model, data_axis, spatial_axis,
+                                        beta_period)
+
+    def body(params, batch_stats, views, key):
+        _, (_, metrics) = local_loss_fn(params, batch_stats, views, key,
+                                        jnp.int32(0))
+        return metrics
+
+    view_specs = {
+        "x1": P(data_axis, spatial_axis),
+        "x2": P(data_axis, spatial_axis),
+        "gt": P(data_axis, spatial_axis),
+        "locals": P(data_axis),
+    }
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P(), P(), view_specs, P()),
+                   out_specs=P(), check_vma=False)
+
+    def eval_fn(params, batch_stats, views, key):
+        views = {k: views[k] for k in ("x1", "x2", "gt", "locals")}
+        return fn(params, batch_stats, views, key)
+
+    return eval_fn
 
 
 def shard_views(views, mesh: Mesh, *, data_axis: str = DATA_AXIS,

@@ -124,18 +124,29 @@ def _lerp_axis(arr: np.ndarray, axis: int, coords: np.ndarray) -> np.ndarray:
     return a + (b - a) * frac
 
 
-def resample_isotropic(img: MetaImage, out_spacing=(1.0, 1.0, 1.0)) -> MetaImage:
-    """Resample to ``out_spacing`` with SimpleITK's linear-resampler semantics
-    (reference ``luna_preprocess.py:322-348``): output size
-    ``int(in_size·in_sp/out_sp + 0.5)`` per axis, output voxel ``i`` sampled at
-    input continuous index ``i·out_sp/in_sp`` (identity transform, shared
-    origin, axis-aligned direction — true for every LUNA16 volume)."""
-    in_sp_xyz = img.spacing          # (x, y, z)
-    arr = img.array.astype(np.float32)  # (z, y, x)
-    in_sp = in_sp_xyz[::-1]          # (z, y, x)
+def _resample_plan(img: MetaImage, out_spacing):
+    """(out_size, scales) per (z, y, x) axis — the single source of truth for
+    the SimpleITK sampling convention, shared by the NumPy path and the
+    native kernel so they can never diverge: output size
+    ``int(in_size·in_sp/out_sp + 0.5)``, output voxel ``i`` sampled at input
+    continuous index ``i·out_sp/in_sp``."""
+    in_sp = img.spacing[::-1]        # (z, y, x)
     out_sp = list(out_spacing)[::-1]
     out_size = [int(img.array.shape[d] * in_sp[d] / out_sp[d] + 0.5)
                 for d in range(3)]
+    scales = [out_sp[d] / in_sp[d] for d in range(3)]
+    return out_size, scales
+
+
+def resample_isotropic(img: MetaImage, out_spacing=(1.0, 1.0, 1.0)) -> MetaImage:
+    """Resample to ``out_spacing`` with SimpleITK's linear-resampler semantics
+    (reference ``luna_preprocess.py:322-348``; sampling convention in
+    ``_resample_plan`` — identity transform, shared origin, axis-aligned
+    direction, true for every LUNA16 volume)."""
+    arr = img.array.astype(np.float32)  # (z, y, x)
+    in_sp = img.spacing[::-1]
+    out_sp = list(out_spacing)[::-1]
+    out_size, _ = _resample_plan(img, out_spacing)
     for axis in range(3):
         if abs(in_sp[axis] - out_sp[axis]) < 1e-12 and \
                 out_size[axis] == arr.shape[axis]:
@@ -157,14 +168,10 @@ def load_volume_1mm(path: str) -> np.ndarray:
     """
     img = read_mhd(path)
     out_spacing = (1.0, 1.0, 1.0)
-    in_sp = img.spacing[::-1]        # (z, y, x)
-    out_sp = list(out_spacing)[::-1]
-    out_size = [int(img.array.shape[d] * in_sp[d] / out_sp[d] + 0.5)
-                for d in range(3)]
     if img.array.dtype in (np.int16, np.float32):
         from pcrlv2_tpu import native
 
-        scales = [out_sp[d] / in_sp[d] for d in range(3)]
+        out_size, scales = _resample_plan(img, out_spacing)
         out = native.resample_to_xyz(img.array, scales, out_size)
         if out is not None:
             return out

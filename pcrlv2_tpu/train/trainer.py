@@ -87,6 +87,10 @@ class Trainer:
                 raise ValueError("--spatial applies to the 3D pipeline")
             if mesh is None or mesh_lib.SPATIAL_AXIS not in mesh.axis_names:
                 raise ValueError("spatial>1 needs a mesh with a spatial axis")
+            if cfg.mixup is not None:
+                raise ValueError(
+                    "--mixup is not supported with --spatial (the sharded "
+                    "step has no mixup path yet)")
             from functools import partial
 
             from pcrlv2_tpu.parallel.spatial_train import (
@@ -118,7 +122,16 @@ class Trainer:
         Fills the reference's gap — its eval DataLoader is built but would
         crash if iterated (``transform=None`` yet ``__getitem__`` applies it,
         reference ``lunaDataset.py:37``, ``data.py:59``).
+
+        Under ``--spatial`` the eval forward is depth-sharded too — an
+        unsharded eval would replicate the full volume per device and OOM in
+        exactly the regime spatial sharding exists for.
         """
+        if self._shard_views is not None:
+            from pcrlv2_tpu.parallel.spatial_train import make_spatial_eval_fn
+
+            return jax.jit(make_spatial_eval_fn(self.model, self.mesh))
+
         from pcrlv2_tpu.train.step import make_loss_fn
 
         loss_fn = make_loss_fn(self.model, dim=self.dim)
@@ -166,6 +179,8 @@ class Trainer:
                 views = self._aug_fn(step_key(self.cfg.seed, i, 2), batch)
             else:
                 views = self.raw_batch_to_views(batch, self.dim)
+            if self._shard_views is not None:
+                views = self._shard_views(views)
             metrics = jax.device_get(
                 self._eval_fn(self.state.params, self.state.batch_stats,
                               views, step_key(self.cfg.seed, i)))

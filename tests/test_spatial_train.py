@@ -96,3 +96,24 @@ def test_spatial_step_guard_skips_nonfinite(setup):
     np.testing.assert_array_equal(
         np.asarray(jax.tree.leaves(got_state.params)[0]),
         np.asarray(jax.tree.leaves(state.params)[0]))
+
+
+def test_spatial_eval_matches_unsharded(setup):
+    """make_spatial_eval_fn must reproduce the unsharded loss metrics."""
+    from pcrlv2_tpu.parallel.spatial_train import make_spatial_eval_fn
+    from pcrlv2_tpu.train.step import make_loss_fn
+
+    model, tx, state, views, key, lr, epoch, *_ = setup
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = create_mesh((DATA_AXIS, SPATIAL_AXIS), shape=(2, 2),
+                       devices=jax.devices()[:4])
+    eval_fn = jax.jit(make_spatial_eval_fn(model, mesh))
+    got = eval_fn(state.params, state.batch_stats, shard_views(views, mesh),
+                  key)
+    loss_fn = make_loss_fn(model, dim=3)
+    _, (_, ref) = jax.jit(loss_fn)(state.params, state.batch_stats, views,
+                                   key, jnp.int32(0))
+    for k in ("loss", "mg_loss", "cos_loss", "local_loss"):
+        np.testing.assert_allclose(float(got[k]), float(ref[k]),
+                                   rtol=2e-4, atol=1e-5, err_msg=k)

@@ -64,8 +64,10 @@ def main():
     grad = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
     print(f"loss fwd+grad       {timeit(grad, state.params, state.batch_stats, views, jax.random.key(3), jnp.int32(0)):8.1f} ms")
 
+    # NB no donation: timeit re-calls with the same state, a donated buffer
+    # would be dead on the second call
     step = jax.jit(make_train_step(model, tx, dim=2, aug_fn=None,
-                                   loss_guard=None), donate_argnums=(0,))
+                                   loss_guard=None))
     def run(state, views):
         return step(state, views, jax.random.key(5), jnp.float32(1e-2),
                     jnp.int32(0))
