@@ -82,3 +82,29 @@ def test_beta_schedule():
     np.testing.assert_allclose(float(beta_schedule(0)), 1.0)
     np.testing.assert_allclose(float(beta_schedule(120)), 0.5, atol=1e-6)
     np.testing.assert_allclose(float(beta_schedule(240)), 0.0, atol=1e-6)
+
+
+def test_legacy_moco_helpers():
+    """The reference's defined-but-unused MoCo helpers (train_2d.py:23-41)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pcrlv2_tpu.train.legacy import (get_shuffle_ids, moment_update,
+                                         normalize)
+
+    p = {"w": jnp.ones((3,)), "b": jnp.zeros((2,))}
+    e = {"w": jnp.zeros((3,)), "b": jnp.ones((2,))}
+    out = moment_update(p, e, 0.9)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.1 * np.ones(3),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["b"]), 0.9 * np.ones(2),
+                               rtol=1e-6)
+
+    fwd, bwd = get_shuffle_ids(jax.random.key(0), 8)
+    x = jnp.arange(8)
+    np.testing.assert_array_equal(np.asarray(x[fwd][bwd]), np.asarray(x))
+
+    v = jnp.array([[3.0, 4.0], [0.0, 0.0]])
+    n = normalize(v)
+    np.testing.assert_allclose(np.asarray(n[0]), [0.6, 0.8], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(n[1]), [0.0, 0.0], atol=1e-6)
