@@ -51,40 +51,81 @@ def main():
     n_chips = jax.device_count()
 
     if DIM == 2:
+        from pcrlv2_tpu.train.step import make_pipelined_train_step
+
         batch_n = BATCH * 2  # run2d.sh operating point is b=64
         model = PCRLv2()
         tx = sgd()
         sample = jnp.zeros((batch_n, 224, 224, 3), jnp.float32)
         state = create_train_state(model, tx, jax.random.key(0), sample)
-        aug = jax.jit(make_chest_aug_fn())
-        step = jax.jit(make_train_step(model, tx, dim=2, aug_fn=None,
-                                       loss_guard=None), donate_argnums=(0,))
+        aug_fn = make_chest_aug_fn()
+        aug = jax.jit(aug_fn)
+        pipe = jax.jit(make_pipelined_train_step(model, tx, aug_fn, dim=2,
+                                                 loss_guard=None),
+                       donate_argnums=(0, 1))
         batch = jax.device_put(
             jax.tree.map(jnp.asarray, synthetic_chest_batch(batch_n)))
         metric, unit = "2d_pretrain_imgs_per_sec_per_chip", "imgs/sec/chip"
         baseline, bsz = BASELINE_CHEST_IMGS_PER_SEC_PER_CHIP, batch_n
-        run_bench(jax, aug, step, state, batch, bsz, n_chips, metric, unit,
-                  baseline)
+        run_bench_pipelined(jax, aug, pipe, state, batch, bsz, n_chips,
+                            metric, unit, baseline)
         return
+
+    from pcrlv2_tpu.train.step import make_pipelined_train_step
 
     model = PCRLv23d()
     tx = sgd()
     sample = jnp.zeros((BATCH, 64, 64, 32, 1), jnp.float32)
     state = create_train_state(model, tx, jax.random.key(0), sample)
 
-    # aug as its own jitted program: fusing it into the grad program makes
-    # XLA schedule it ~40x slower (1613 vs 690 ms/step measured on v5e)
-    aug = jax.jit(make_luna_aug_fn())
-    step = jax.jit(
-        make_train_step(model, tx, dim=3, aug_fn=None),
-        donate_argnums=(0,),
-    )
+    # production path: the step + NEXT batch's aug in ONE program (one
+    # dispatch per step; device-time-neutral in this saturated loop, hides
+    # host gaps in real training loops — see make_pipelined_train_step)
+    aug_fn = make_luna_aug_fn()
+    aug = jax.jit(aug_fn)
+    pipe = jax.jit(make_pipelined_train_step(model, tx, aug_fn, dim=3),
+                   donate_argnums=(0, 1))
 
     batch = jax.device_put(
         jax.tree.map(jnp.asarray, synthetic_luna_batch(BATCH)))
-    run_bench(jax, aug, step, state, batch, BATCH, n_chips,
-              "3d_pretrain_volumes_per_sec_per_chip", "volumes/sec/chip",
-              BASELINE_VOLUMES_PER_SEC_PER_CHIP)
+    run_bench_pipelined(jax, aug, pipe, state, batch, BATCH, n_chips,
+                        "3d_pretrain_volumes_per_sec_per_chip",
+                        "volumes/sec/chip", BASELINE_VOLUMES_PER_SEC_PER_CHIP)
+
+
+def run_bench_pipelined(jax, aug, pipe, state, batch, bsz, n_chips, metric,
+                        unit, baseline):
+    import jax.numpy as jnp
+
+    lr = jnp.float32(1e-3)
+    epoch = jnp.int32(0)
+
+    def sync(x):
+        return jax.device_get(jax.tree.leaves(x)[0].ravel()[0:1])
+
+    views = aug(jax.random.key(999), batch)
+    for i in range(WARMUP):
+        state, metrics, views = pipe(state, views, batch, jax.random.key(i),
+                                     jax.random.key(1000 + i), lr, epoch)
+    sync(metrics)
+    sync(state.params)
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        state, metrics, views = pipe(state, views, batch,
+                                     jax.random.key(100 + i),
+                                     jax.random.key(2000 + i), lr, epoch)
+    sync(metrics)
+    sync(state.params)
+    dt = time.perf_counter() - t0
+
+    per_chip = bsz * STEPS / dt / n_chips
+    print(json.dumps({
+        "metric": metric,
+        "value": round(per_chip, 3),
+        "unit": unit,
+        "vs_baseline": round(per_chip / baseline, 3),
+    }))
 
 
 def run_bench(jax, aug, step, state, batch, bsz, n_chips, metric, unit,

@@ -221,3 +221,46 @@ def make_train_step(
         return new_state, metrics
 
     return step
+
+
+def make_pipelined_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    aug_fn: Callable,
+    *,
+    dim: int = 3,
+    loss_guard: Optional[float] = 1000.0,
+    guard_warmup_epochs: int = 10,
+    beta_period: float = 240.0,
+    mixup_alpha: Optional[float] = None,
+):
+    """The fused step PLUS the NEXT batch's augmentation in one program.
+
+    One dispatch per training step instead of two.  Device time is unchanged
+    when the host keeps the queue fed (measured neutral in the saturated
+    bench loop), but the single-program form hides host-side gaps — in a
+    loop with per-iteration Python work (key derivation, metering, logging)
+    it measured 621 → 536 ms per aug+step pair on the tunneled v5e.
+    Numerics are identical to the sequential path: same ops, same keys
+    (tested leaf-exactly).
+
+    NB: this is NOT the known-pathological "fuse aug into the grad program"
+    (BENCHMARKS.md) — the next batch's aug is an independent subgraph whose
+    output feeds the FOLLOWING step, so XLA cannot tangle it into the loss
+    schedule.
+
+    Returns ``step(state, views, raw_next, key, key_aug_next, lr, epoch) ->
+    (state, metrics, next_views)``.  Prime the first ``views`` with a plain
+    jitted ``aug_fn``; at epoch end the trailing ``next_views`` is discarded.
+    """
+    base = make_train_step(model, tx, dim=dim, aug_fn=None,
+                           loss_guard=loss_guard,
+                           guard_warmup_epochs=guard_warmup_epochs,
+                           beta_period=beta_period, mixup_alpha=mixup_alpha)
+
+    def step(state, views, raw_next, key, key_aug_next, lr, epoch):
+        new_state, metrics = base(state, views, key, lr, epoch)
+        next_views = aug_fn(key_aug_next, raw_next)
+        return new_state, metrics, next_views
+
+    return step

@@ -78,6 +78,7 @@ class Trainer:
         # (measured 1613 ms vs 690 ms per step at b=32 on v5e).
         self._aug_fn = jax.jit(aug_fn) if aug_fn is not None else None
         self._shard_views = None
+        self._pipe_fn = None
         if cfg.spatial > 1:
             # depth-sharded training: the full 4-term objective with the
             # global views' volume split over the mesh's `spatial` axis
@@ -108,6 +109,19 @@ class Trainer:
                                 loss_guard=loss_guard, mixup_alpha=cfg.mixup),
                 donate_argnums=(0,),
             )
+            if aug_fn is not None:
+                # production fast path: the step and the NEXT batch's
+                # augmentation in one program — one dispatch per step,
+                # hiding the loop's host-side work (numerics identical —
+                # see make_pipelined_train_step)
+                from pcrlv2_tpu.train.step import make_pipelined_train_step
+
+                self._pipe_fn = jax.jit(
+                    make_pipelined_train_step(
+                        self.model, self.tx, aug_fn, dim=dim,
+                        loss_guard=loss_guard, mixup_alpha=cfg.mixup),
+                    donate_argnums=(0, 1),
+                )
         os.makedirs(cfg.output, exist_ok=True)
         self.logger = MetricLogger(os.path.join(cfg.output, "metrics.jsonl"))
         self._global_step = 0
@@ -241,18 +255,38 @@ class Trainer:
                    "local_loss", "loss")}
         end = time.time()
         metrics = None
-        for idx, batch in enumerate(batch_iter):
+        sentinel = object()
+        it = iter(batch_iter)
+        raw = next(it, sentinel)
+        views = None  # pipelined mode: aug(raw) from the previous program
+        idx = -1
+        while raw is not sentinel:
+            idx += 1
             meters["data_time"].update(time.time() - end)
+            raw_next = next(it, sentinel)
             key = step_key(cfg.seed, self._global_step)
-            if self._aug_fn is not None:
-                kaug = step_key(cfg.seed, self._global_step, 1)
-                batch = self._aug_fn(kaug, batch)
-            if self._shard_views is not None:
-                batch = self._shard_views(batch)
-            self.state, metrics = self._step_fn(
-                self.state, batch, key, jnp.float32(lr), jnp.int32(epoch))
+            bsz = int(jax.tree.leaves(raw)[0].shape[0])
+            if self._pipe_fn is not None:
+                if views is None:  # prime the first batch's views
+                    views = self._aug_fn(
+                        step_key(cfg.seed, self._global_step, 1), raw)
+                # last batch feeds itself as a dummy; its views are discarded
+                feed = raw if raw_next is sentinel else raw_next
+                self.state, metrics, views = self._pipe_fn(
+                    self.state, views, feed, key,
+                    step_key(cfg.seed, self._global_step + 1, 1),
+                    jnp.float32(lr), jnp.int32(epoch))
+            else:
+                batch = raw
+                if self._aug_fn is not None:
+                    kaug = step_key(cfg.seed, self._global_step, 1)
+                    batch = self._aug_fn(kaug, batch)
+                if self._shard_views is not None:
+                    batch = self._shard_views(batch)
+                self.state, metrics = self._step_fn(
+                    self.state, batch, key, jnp.float32(lr), jnp.int32(epoch))
             self._global_step += 1
-            bsz = int(jax.tree.leaves(batch)[0].shape[0])
+            raw = raw_next
             if (idx + 1) % cfg.log_every == 0:
                 # sync once per report, like the reference's
                 # torch.cuda.synchronize before timing (train_3d.py:157)

@@ -107,3 +107,49 @@ def test_cosine_lr_matches_reference():
         ref = 1e-3 * 0.5 * (1.0 + math.cos(math.pi * epoch / 240))
         np.testing.assert_allclose(float(cosine_lr(epoch, 1e-3, 240)), ref,
                                    rtol=1e-6)
+
+
+def test_pipelined_step_matches_sequential():
+    """The step+next-aug fused program must reproduce the sequential
+    aug-then-step trajectory (same ops and keys; only the schedule differs)."""
+    import numpy as np
+
+    from pcrlv2_tpu.data.augment3d import make_luna_aug_fn
+    from pcrlv2_tpu.data.pipeline import synthetic_luna_batch
+    from pcrlv2_tpu.models import PCRLv23d
+    from pcrlv2_tpu.train.optimizer import sgd
+    from pcrlv2_tpu.train.step import (create_train_state,
+                                       make_pipelined_train_step,
+                                       make_train_step)
+
+    model = PCRLv23d()
+    tx = sgd()
+    b = 2
+    state0 = create_train_state(model, tx, jax.random.key(0),
+                                jnp.zeros((b, 16, 16, 8, 1)))
+    aug = make_luna_aug_fn()
+    raws = [jax.tree.map(jnp.asarray, synthetic_luna_batch(
+        b, seed=i, size=(16, 16, 8), local=(8, 8, 8), n_views=2))
+        for i in range(3)]
+
+    lr, epoch = jnp.float32(1e-2), jnp.int32(0)
+    kstep = [jax.random.key(10 + i) for i in range(3)]
+    kaug = [jax.random.key(20 + i) for i in range(3)]
+
+    seq = jax.jit(make_train_step(model, tx, dim=3, aug_fn=None))
+    aug_j = jax.jit(aug)
+    s = state0
+    for i in range(3):
+        s, m = seq(s, aug_j(kaug[i], raws[i]), kstep[i], lr, epoch)
+
+    pipe = jax.jit(make_pipelined_train_step(model, tx, aug, dim=3))
+    s2 = state0
+    views = aug_j(kaug[0], raws[0])
+    for i in range(3):
+        nxt = raws[min(i + 1, 2)]
+        knxt = kaug[min(i + 1, 2)]
+        s2, m2, views = pipe(s2, views, nxt, kstep[i], knxt, lr, epoch)
+
+    for a, c in zip(jax.tree.leaves(s.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-5, atol=1e-6)
