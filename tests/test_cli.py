@@ -109,3 +109,36 @@ def test_luna_preprocess_cli_end_to_end(tmp_path):
     g = np.load(save / "subset0" / "1.3.6.1.4.1.fake_global_0.npy")
     assert g.shape == (2, 64, 64, 32)
     assert g.min() >= 0.0 and g.max() <= 1.0
+
+
+def test_full_product_loop(tmp_path):
+    """The complete user journey in one test: raw MHD tree → preprocessing
+    CLI → training CLI on the produced tree → reference-schema checkpoint
+    that strict-loads shapes (the round-trip the README documents)."""
+    import torch
+
+    import luna_preprocess
+    from pcrlv2_tpu.cli.main import main as train_main
+
+    data = tmp_path / "raw"
+    save = tmp_path / "processed"
+    _fake_luna_tree(str(data))
+    luna_preprocess.main([
+        "--fold", "0", "--data", str(data), "--save", str(save),
+        "--scale", "2", "--procs", "1",
+    ])
+    lst = tmp_path / "uids.txt"
+    lst.write_text("1.3.6.1.4.1.fake\n")
+    out = tmp_path / "out"
+    train_main([
+        "--data", str(save), "--train_list", str(lst), "--ratio", "1.0",
+        "--d", "3", "--n", "luna", "--b", "2", "--epochs", "0",
+        "--steps_per_epoch", "1", "--workers", "1", "--output", str(out),
+    ])
+    ckpt = out / "pcrlv2_luna_pretask_1.0_0.pt"
+    assert ckpt.exists()
+    sd = torch.load(str(ckpt), map_location="cpu", weights_only=False)
+    assert set(sd) >= {"opt", "state_dict", "epoch"}
+    assert sd["epoch"] == 0
+    assert sd["state_dict"]["down_tr64.ops.0.conv1.weight"].shape == \
+        (32, 1, 3, 3, 3)
