@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 #: fixed 17-tap kernel ≈ scipy truncate=4 at σ_max=2 (static shape under jit)
 BLUR_RADIUS = 8
@@ -25,13 +26,33 @@ def gaussian_kernel(sigma: jax.Array, radius: int = BLUR_RADIUS) -> jax.Array:
     return w / jnp.sum(w)
 
 
+def _band_matrix(n: int, kernel: jax.Array, pad_mode: str) -> jax.Array:
+    """(n, n) banded operator: ``W[o, s] = Σ_taps kernel[k]·[map(o−r+k) == s]``
+    with the padding mode folded into the boundary columns — so the blur is
+    ONE matmul on the MXU instead of a 17-wide sliding-window gather on the
+    VPU (the taps are traced values — σ is sampled per call — but the tap→
+    source index map is static, so each tap contributes a static one-hot)."""
+    r = (kernel.shape[0] - 1) // 2
+    o = np.arange(n)
+    w = jnp.zeros((n, n), kernel.dtype)
+    for k in range(2 * r + 1):
+        src = o - r + k
+        if pad_mode == "edge":
+            src = np.clip(src, 0, n - 1)
+        else:  # reflect (scipy/np convention, no edge duplication)
+            src = np.abs(src)
+            src = np.where(src >= n, 2 * (n - 1) - src, src)
+        w = w.at[o, src].add(kernel[k])
+    return w
+
+
 def blur_axis(img: jax.Array, kernel: jax.Array, axis: int,
               pad_mode: str = "reflect") -> jax.Array:
-    """1-D convolution along ``axis`` with the given taps and padding mode."""
-    r = (kernel.shape[0] - 1) // 2
+    """1-D convolution along ``axis`` with the given taps and padding mode,
+    as a banded-matrix contraction (MXU) — same numerics as the
+    sliding-window formulation."""
+    n = img.shape[axis]
+    w = _band_matrix(n, kernel, pad_mode)
     moved = jnp.moveaxis(img, axis, -1)
-    pad = [(0, 0)] * (moved.ndim - 1) + [(r, r)]
-    padded = jnp.pad(moved, pad, mode=pad_mode)
-    idx = jnp.arange(moved.shape[-1])[:, None] + jnp.arange(2 * r + 1)[None, :]
-    out = jnp.einsum("...lk,k->...l", padded[..., idx], kernel)
+    out = jnp.einsum("os,...s->...o", w, moved)
     return jnp.moveaxis(out, -1, axis)
