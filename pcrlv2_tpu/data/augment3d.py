@@ -273,10 +273,16 @@ def random_swap(key: jax.Array, img: jax.Array,
 
     perm, _ = lax.fori_loop(
         0, num_iterations, body, (jnp.arange(n, dtype=jnp.int32), key))
-    # (gx, px, gy, py, gz, pz) -> (G, px·py·pz), permute patches, restore
+    # (gx, px, gy, py, gz, pz) -> (G, px·py·pz), permute patches, restore.
+    # The row permutation is applied as a one-hot matmul on the MXU — the
+    # row gather was the aug program's last gather (same trick as the
+    # banded blur; numerics exact, permutation matrices are 0/1).
     patches = img[: gx * px, : gy * py, : gz * pz].reshape(
         gx, px, gy, py, gz, pz).transpose(0, 2, 4, 1, 3, 5).reshape(n, -1)
-    shuffled = jnp.take(patches, perm, axis=0)
+    onehot = (perm[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]
+              ).astype(patches.dtype)
+    shuffled = jnp.dot(onehot, patches, preferred_element_type=jnp.float32
+                       ).astype(patches.dtype)
     out = shuffled.reshape(gx, gy, gz, px, py, pz).transpose(
         0, 3, 1, 4, 2, 5).reshape(gx * px, gy * py, gz * pz)
     # volumes are exact multiples of the patch grid in this workload; keep a
