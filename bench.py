@@ -23,11 +23,29 @@ import time
 import numpy as np
 
 # The reference trains with apex-AMP PCRLv23d at b=32 on 4 data-parallel GPUs
-# (run3d.sh / README.md:127, 2021-era V100-class hardware).  Estimated
-# steady-state throughput ~30 crop-pairs/sec per GPU (see BENCHMARKS.md for
-# the derivation); replace with a bench_reference.py measurement when GPU
-# hardware is available.
+# (run3d.sh / README.md:127, 2021-era V100-class hardware).  No CUDA device
+# is reachable from this environment, so the denominator is BOUNDED rather
+# than measured (full methodology: BENCHMARKS.md "Baseline"):
+#
+# * BASELINE_UPPER = 35 vols/s/GPU — the compute-bound ceiling: the step is
+#   ~1.2 TFLOP/sample and V100 fp16 tensor peak is 125 TFLOPs; public 3D-conv
+#   workloads sustain 25-35% of that peak, and 125·0.35/1.2 ≈ 36.  This
+#   charitably assumes the input pipeline away.
+# * BASELINE_LOWER = 3.75 vols/s/GPU — the input-bound reality: 4 torch
+#   DataLoader workers each run the torchio affine/blur/swap stack at
+#   ~0.5-1 s per 64³ sample on CPU, supporting ~5-15 vols/s *total* across
+#   the 4 GPUs (measured anchor: this repo's bench_reference.py CPU-torch
+#   run = 0.063 vols/s/device at b=2).
+# * BASELINE_VOLUMES_PER_SEC_PER_CHIP = 30 — the primary denominator
+#   (kept from round 1 for cross-round comparability): just under the
+#   compute-bound ceiling, i.e. the most favorable defensible number for
+#   the reference.
+#
+# bench_reference.py measures the true number when run on the reference's
+# 4-GPU hardware; vs_baseline_{lower,upper} bracket the truth meanwhile.
 BASELINE_VOLUMES_PER_SEC_PER_CHIP = 30.0
+BASELINE_UPPER = 35.0   # reference compute-bound ceiling (per GPU)
+BASELINE_LOWER = 3.75   # reference input-bound estimate (per GPU)
 
 BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 WARMUP = int(os.environ.get("BENCH_WARMUP", "3"))
@@ -120,12 +138,22 @@ def run_bench_pipelined(jax, aug, pipe, state, batch, bsz, n_chips, metric,
     dt = time.perf_counter() - t0
 
     per_chip = bsz * STEPS / dt / n_chips
-    print(json.dumps({
+    out = {
         "metric": metric,
         "value": round(per_chip, 3),
         "unit": unit,
         "vs_baseline": round(per_chip / baseline, 3),
-    }))
+    }
+    if baseline == BASELINE_VOLUMES_PER_SEC_PER_CHIP:
+        # the denominator is a bounded estimate, not a measurement — report
+        # the bracket too (see the BASELINE_* derivation above)
+        out["vs_baseline_conservative"] = round(per_chip / BASELINE_UPPER, 3)
+        out["vs_baseline_optimistic"] = round(per_chip / BASELINE_LOWER, 3)
+        out["baseline_note"] = ("denominator is the documented compute-bound "
+                                "estimate (BENCHMARKS.md 'Baseline'); "
+                                "conservative/optimistic divide by the "
+                                "35/3.75 vols/s/GPU bounds")
+    print(json.dumps(out))
 
 
 def run_bench(jax, aug, step, state, batch, bsz, n_chips, metric, unit,
