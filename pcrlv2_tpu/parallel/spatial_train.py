@@ -201,14 +201,13 @@ def make_spatial_train_step(
             step=state.step + 1,
         )
 
-        # Finite-loss guard (train_3d.py:140-142), as in train/step.py.
+        # Finite-loss guard (train_3d.py:140-142), as in train/step.py:
+        # every leaf (incl. the int32 step) reverts on a skipped update.
         bad = ~jnp.isfinite(loss)
         if loss_guard is not None:
             bad = bad | ((loss > loss_guard) & (epoch > guard_warmup_epochs))
         new_state = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(bad, old, new)
-            if jnp.issubdtype(jnp.asarray(new).dtype, jnp.floating) else new,
-            new_state, state)
+            lambda new, old: jnp.where(bad, old, new), new_state, state)
         metrics["skipped"] = bad.astype(jnp.float32)
         return new_state, metrics
 

@@ -206,17 +206,17 @@ def make_train_step(
             step=state.step + 1,
         )
 
-        # Finite-loss guard: skip the whole update (params, momentum, stats)
-        # on loss spikes / non-finite loss, like the reference's
-        # `if loss > 1000 and epoch > 10: continue` (train_3d.py:140-142) —
-        # extended to always skip NaN/Inf.
+        # Finite-loss guard: skip the whole update (params, momentum, stats,
+        # AND the int32 step counter) on loss spikes / non-finite loss, like
+        # the reference's `if loss > 1000 and epoch > 10: continue`
+        # (train_3d.py:140-142) — extended to always skip NaN/Inf.  Every
+        # leaf reverts so a skipped update leaves the state indistinguishable
+        # from no step at all (the reference's `continue` advances nothing).
         bad = ~jnp.isfinite(loss)
         if loss_guard is not None:
             bad = bad | ((loss > loss_guard) & (epoch > guard_warmup_epochs))
         new_state = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(bad, old, new)
-            if jnp.issubdtype(jnp.asarray(new).dtype, jnp.floating) else new,
-            new_state, state)
+            lambda new, old: jnp.where(bad, old, new), new_state, state)
         metrics["skipped"] = bad.astype(jnp.float32)
         return new_state, metrics
 

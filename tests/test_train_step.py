@@ -72,7 +72,9 @@ def test_nan_guard_skips_update(setup):
     for a, b in zip(jax.tree.leaves(state.params),
                     jax.tree.leaves(new_state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    assert int(new_state.step) == 1  # batch consumed, like `continue`
+    # the reference's `continue` advances nothing (train_3d.py:140-142): a
+    # skipped update leaves EVERY leaf — incl. the int32 step — unchanged
+    assert int(new_state.step) == 0
 
 
 def test_sgd_matches_torch_two_steps():
