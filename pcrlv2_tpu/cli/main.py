@@ -85,6 +85,16 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--eval_every", default=0, type=int,
                         help="epochs between eval-loss passes (0 = off; the "
                              "reference builds an eval loader it never uses)")
+    parser.add_argument("--eval_batches", default=0, type=int,
+                        help="cap batches per eval pass (0 = the full fold)")
+    parser.add_argument("--chest_canvas", default=512, type=int,
+                        help="host-side decode canvas for chest X-rays; set "
+                             "to the native size (1024 for NIH) for ZERO "
+                             "resolution loss vs the reference's "
+                             "native-resolution CPU crops "
+                             "(chestDataset.py:31-48) at 4x the H2D bytes; "
+                             "512 (default) halves source resolution before "
+                             "cropping — measured deviation in BENCHMARKS.md")
     parser.add_argument("--profile_dir", default=None,
                         help="write a jax.profiler trace here")
     parser.add_argument("--synthetic", action="store_true", default=False,
@@ -119,7 +129,12 @@ def _shard_for_process(args, *lists):
     """Multi-host: interleaved per-process dataset slices + a local args copy
     with the b/world per-process batch (``--b`` is the GLOBAL batch;
     ``shard_batch`` assembles the global array over DCN).  Single-host:
-    passthrough."""
+    passthrough.
+
+    Every process's slice is trimmed to the common ``len(lst)//world`` length:
+    with the raw ``lst[rank::world]`` slices, processes whose slice is one
+    longer would run extra steps per epoch and the gradient collectives would
+    deadlock over DCN waiting on the shorter processes."""
     rank, world = _process_slice(args)
     if world == 1:
         return args, lists
@@ -127,7 +142,8 @@ def _shard_for_process(args, *lists):
         raise SystemExit(
             f"global batch {args.b} not divisible by {world} processes")
     local = argparse.Namespace(**{**vars(args), "b": args.b // world})
-    return local, tuple(lst[rank::world] for lst in lists)
+    return local, tuple(lst[rank::world][: len(lst) // world]
+                        for lst in lists)
 
 
 class DataGenerator:
@@ -162,6 +178,16 @@ class DataGenerator:
         from pcrlv2_tpu.data.pipeline import HostLoader, load_luna_sample
 
         args = self.args
+        if not os.path.exists(args.train_list):
+            # the manifest is a dataset-release artifact; a fresh
+            # preprocessed tree carries the same information, so derive the
+            # UID list from it (and persist for reproducibility) rather than
+            # dying on the missing default path
+            from pcrlv2_tpu.data.make_manifests import write_luna_manifest
+
+            uids_all = write_luna_manifest(args.data, args.train_list)
+            print(f"==> {args.train_list} not found; derived "
+                  f"{len(uids_all)} UIDs from {args.data}")
         uids = get_luna_pretrain_list(args.ratio, args.train_list)
         x_train, x_valid, _ = get_luna_list(
             args.data, train_fold=range(7), valid_fold=range(7, 10),
@@ -196,12 +222,20 @@ class DataGenerator:
         names = names[: int(len(names) * args.ratio)]
         print(f"total train images {len(names)}")
         args, (names,) = _shard_for_process(args, names)
-        train = HostLoader(names, args.b, partial(load_chest_sample),
+        canvas = getattr(args, "chest_canvas", 512)
+        read = partial(load_chest_sample, canvas=canvas)
+        train = HostLoader(names, args.b, read,
                            shuffle=True, seed=args.seed,
                            num_workers=args.workers)
-        # the reference's chest eval loader aliases the train pipeline
-        # (reference data.py:58-59); eval views use a fixed PRNG key
-        return {"train": train, "eval": train}
+        # The reference's chest eval loader aliases the (shuffled) train
+        # pipeline (reference data.py:58-59 — dead code there).  A working
+        # eval metric must track the SAME samples every epoch, so eval gets
+        # its own UNshuffled loader over the same list (eval views use a
+        # fixed PRNG key per batch index, Trainer.evaluate).
+        evaluate = HostLoader(names, args.b, read,
+                              shuffle=False, seed=args.seed,
+                              num_workers=args.workers)
+        return {"train": train, "eval": evaluate}
 
 
 def _synthetic_loader(args, dim: int):
@@ -222,7 +256,9 @@ def _synthetic_loader(args, dim: int):
                 if dim == 3:
                     yield synthetic_luna_batch(args.b, seed=seed)
                 else:
-                    yield synthetic_chest_batch(args.b, seed=seed)
+                    yield synthetic_chest_batch(
+                        args.b, canvas=getattr(args, "chest_canvas", 512),
+                        seed=seed)
 
     return {"train": _Loader(), "eval": None}
 
@@ -309,6 +345,7 @@ def main(argv=None) -> None:
         mixup=args.mixup, resume=args.resume, spatial=args.spatial,
         orbax_dir=os.path.join(os.path.abspath(args.output), "orbax"),
         profile_dir=args.profile_dir, eval_every=args.eval_every,
+        eval_batches=args.eval_batches,
     )
 
     policy = DEFAULT_POLICY if args.amp else PARITY_POLICY

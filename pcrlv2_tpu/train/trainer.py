@@ -54,6 +54,7 @@ class TrainConfig:
     orbax_dir: Optional[str] = None
     profile_dir: Optional[str] = None  # jax.profiler trace output (opt-in)
     eval_every: int = 0  # epochs between eval passes; 0 disables
+    eval_batches: int = 0  # cap batches per eval pass; 0 = the full fold
     spatial: int = 1  # >1: depth-shard the global views over `spatial` chips
 
     def ckpt_name(self, epoch: int) -> str:
@@ -159,10 +160,16 @@ class Trainer:
 
     @staticmethod
     def raw_batch_to_views(batch, dim: int):
-        """Un-augmented eval views from a raw batch (identity restoration)."""
+        """Un-augmented eval views from a raw batch (identity restoration).
+
+        Built with NumPy on host so callers can device_put each view straight
+        to its target sharding — no transient unsharded staging copy on the
+        default device (that copy is exactly what OOMs in the beyond-one-chip
+        regime ``--spatial`` exists for).
+        """
         if dim == 3:
-            pair = jnp.asarray(batch["pair"], jnp.float32)
-            locals_ = jnp.asarray(batch["locals"], jnp.float32)
+            pair = np.asarray(batch["pair"], np.float32)
+            locals_ = np.asarray(batch["locals"], np.float32)
             return {
                 "x1": pair[:, 0][..., None],
                 "x2": pair[:, 1][..., None],
@@ -172,27 +179,40 @@ class Trainer:
             }
         raise NotImplementedError("2D eval uses the aug_fn views directly")
 
-    def evaluate(self, batch_iter, max_batches: int = 50) -> dict:
+    def evaluate(self, batch_iter, max_batches: Optional[int] = None) -> dict:
         """Average eval loss over ``batch_iter``.
 
         3D: un-corrupted views built directly from the raw crop pairs.
         2D: views from the augmentation pipeline under a FIXED key per batch
         index — deterministic, and mirrors the reference's chest eval loader,
         which aliases the train pipeline (reference ``data.py:58-59``).
+
+        ``max_batches``: defaults to ``cfg.eval_batches`` (0 = the full fold).
         """
+        if max_batches is None:
+            max_batches = self.cfg.eval_batches
         if self._eval_fn is None:
             self._eval_fn = self._build_eval_fn()
+        multihost = jax.process_count() > 1
         meters = {k: AverageMeter() for k in
                   ("loss", "mg_loss", "cos_loss", "local_loss")}
         for i, batch in enumerate(batch_iter):
-            if i >= max_batches:
+            if max_batches and i >= max_batches:
                 break
             if self.dim == 2:
                 if self._aug_fn is None:
                     raise ValueError("2D eval needs the augmentation fn")
                 views = self._aug_fn(step_key(self.cfg.seed, i, 2), batch)
+                if multihost:
+                    # process-local aug output → global mesh arrays (the
+                    # eval jit runs over the global mesh; feeding local
+                    # host/device arrays straight in would crash)
+                    views = mesh_lib.shard_batch(self.mesh,
+                                                 jax.device_get(views))
             else:
                 views = self.raw_batch_to_views(batch, self.dim)
+                if self._shard_views is None and self.mesh is not None:
+                    views = mesh_lib.shard_batch(self.mesh, views)
             if self._shard_views is not None:
                 views = self._shard_views(views)
             metrics = jax.device_get(

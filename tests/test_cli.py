@@ -60,6 +60,25 @@ def test_luna_pretask_loader_from_synthetic_tree(tmp_path):
     assert loaders["eval"] is not None
 
 
+def test_luna_pretask_derives_missing_manifest(tmp_path, capsys):
+    """A missing --train_list is derived from the processed tree (and
+    persisted) instead of crashing — run3d.sh works on a fresh tree."""
+    from pcrlv2_tpu.data.pipeline import write_synthetic_luna_tree
+
+    write_synthetic_luna_tree(str(tmp_path / "d"), n_subsets=8,
+                              uids_per_subset=2, pairs_per_uid=2)
+    listfile = tmp_path / "lists" / "luna_train.txt"
+    args = build_parser().parse_args([
+        "--data", str(tmp_path / "d"), "--b", "4", "--ratio", "1.0",
+        "--train_list", str(listfile), "--workers", "2",
+    ])
+    loaders = DataGenerator(args).build("pcrlv2_luna_pretask")
+    assert listfile.exists()  # persisted for reproducibility
+    assert "derived" in capsys.readouterr().out
+    batch = next(loaders["train"].epoch(0))
+    assert batch["pair"].shape == (4, 2, 64, 64, 32)
+
+
 def test_synthetic_loader_shapes():
     from pcrlv2_tpu.cli.main import _synthetic_loader
 
