@@ -213,6 +213,75 @@ def resnet18_encoder_mapping():
 
 
 # ---------------------------------------------------------------------------
+# Full 2D PCRLv2 mapping (reference models/pcrlv2_model.py:197-209: smp
+# ResNet-18 encoder + PCRLv2Decoder + segmentation head).  The reference's 2D
+# *checkpoints* persist the encoder only (train_2d.py:99), but the full
+# mapping enables whole-model interop — parity tests and full-state export.
+# torch key names follow the reference model exactly: smp's encoder uses
+# torchvision resnet18 names under `model.encoder.`, smp's Conv2dReLU is
+# Sequential[conv, bn, relu], the heads are Sequentials (pcrlv2_model.py:
+# 78-111), and the smp segmentation head is Sequential[conv] at
+# `model.segmentation_head.0`.
+# ---------------------------------------------------------------------------
+
+
+def _conv2drelu_entries(tprefix: str, fpath: Tuple[str, ...]):
+    """smp ``md.Conv2dReLU`` = Sequential(conv2d(bias=False), bn, relu)."""
+    return ([(f"{tprefix}.0.weight", fpath + ("conv", "kernel"), "conv2d")]
+            + _bn_entries(f"{tprefix}.1", fpath + ("bn",)))
+
+
+def pcrlv2_2d_mapping():
+    """(torch_key, flax_path, kind) mapping for the full 2D PCRLv2."""
+    entries = [("model.encoder." + tkey, ("encoder",) + fpath, kind)
+               for tkey, fpath, kind in resnet18_encoder_mapping()]
+    for i in range(5):
+        t = f"model.decoder.blocks.{i}"
+        f = (f"block{i}",)
+        entries += _conv2drelu_entries(f"{t}.conv1", f + ("conv1",))
+        entries += _conv2drelu_entries(f"{t}.conv2", f + ("conv2",))
+        entries += _bn_entries(f"{t}.bn", f + ("bn",))
+        # deep_supervision_head: Sequential[conv3x3, bn, relu, conv1x1]
+        # (pcrlv2_model.py:103-106)
+        entries += [
+            (f"{t}.deep_supervision_head.0.weight",
+             f + ("ds_conv1", "kernel"), "conv2d"),
+            (f"{t}.deep_supervision_head.0.bias",
+             f + ("ds_conv1", "bias"), "id"),
+        ]
+        entries += _bn_entries(f"{t}.deep_supervision_head.1", f + ("ds_bn",))
+        entries += [
+            (f"{t}.deep_supervision_head.3.weight",
+             f + ("ds_conv2", "kernel"), "conv2d"),
+            (f"{t}.deep_supervision_head.3.bias",
+             f + ("ds_conv2", "bias"), "id"),
+        ]
+        # predictor_head: Sequential[linear, bn1d, relu, linear]
+        # (pcrlv2_model.py:108-111)
+        entries += [
+            (f"{t}.predictor_head.0.weight",
+             f + ("predictor_head", "fc1", "kernel"), "linear"),
+            (f"{t}.predictor_head.0.bias",
+             f + ("predictor_head", "fc1", "bias"), "id"),
+        ]
+        entries += _bn_entries(f"{t}.predictor_head.1",
+                               f + ("predictor_head", "bn"))
+        entries += [
+            (f"{t}.predictor_head.3.weight",
+             f + ("predictor_head", "fc2", "kernel"), "linear"),
+            (f"{t}.predictor_head.3.bias",
+             f + ("predictor_head", "fc2", "bias"), "id"),
+        ]
+    entries += [
+        ("model.segmentation_head.0.weight",
+         ("segmentation_head", "kernel"), "conv2d"),
+        ("model.segmentation_head.0.bias",
+         ("segmentation_head", "bias"), "id"),
+    ]
+    return entries
+
+
+# ---------------------------------------------------------------------------
 # torch .pt schema save/load
 # ---------------------------------------------------------------------------
 
