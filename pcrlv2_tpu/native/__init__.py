@@ -35,8 +35,20 @@ def _build() -> bool:
     if not os.path.exists(src):
         return False
     try:
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                       capture_output=True, timeout=120)
+        # Serialize concurrent first-use builders (luna_preprocess --procs N,
+        # or one process per host on a shared FS) with an flock: without it
+        # several `make`s compile into the .so in place and a process can
+        # dlopen a partially written library.
+        import fcntl
+
+        lock_path = os.path.join(_NATIVE_DIR, ".build.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                               capture_output=True, timeout=120)
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
         return os.path.exists(_SO_PATH)
     except Exception:
         return False
