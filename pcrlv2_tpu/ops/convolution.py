@@ -49,6 +49,8 @@ def conv_impl() -> str:
       ``pallas_conv.IM2COL_WIN_SHAPES``), on TPU backends only.
     * ``"pallas"`` — the 27-tap manual-DMA kernel (historical; 0.4–0.95×).
     * ``"im2col"`` — the im2col kernel for every eligible 3³ conv.
+    * ``"packed"`` — the tw-packed kernel (3-lane concat, 9 offset matmuls;
+      fwd AND dx in Pallas) for every eligible 3³ conv.
 
     Select with ``PCRL_CONV3D=...``."""
     import os
@@ -110,6 +112,12 @@ def conv3d(
         bias = (b if b is not None
                 else jnp.zeros((w.shape[-1],), x.dtype)).reshape(-1)
         return conv3d_im2col(x, w, bias)
+    if eligible and _on_tpu() and impl == "packed":
+        from pcrlv2_tpu.ops.pallas_conv import conv3d_packed
+
+        bias = (b if b is not None
+                else jnp.zeros((w.shape[-1],), x.dtype)).reshape(-1)
+        return conv3d_packed(x, w, bias)
     if padding is None:
         padding = _same_padding(w.shape[:3])
     out = lax.conv_general_dilated(

@@ -358,6 +358,121 @@ def _im2col_fwd(x: jax.Array, w: jax.Array, bias: jax.Array) -> jax.Array:
     )(xp, xp, xp, wmat, bias.astype(x.dtype).reshape(1, co))
 
 
+# ---------------------------------------------------------------------------
+# tw-packed forward kernel (v3) — 3-way lane packing, 9 offset matmuls
+# ---------------------------------------------------------------------------
+#
+# The im2col kernel (above) showed the trade: 27-way lane-concat buys 96 %
+# contraction packing but costs 27 VPU slab copies — a net loss at Co=64.
+# This kernel packs only the minor spatial (tw) taps: 3 lane-concats build
+# ``packed[d] = [x[d,:,0:W] | x[d,:,1:W+1] | x[d,:,2:W+2]]`` (H+2, W, 3·Ci)
+# per depth stream, and the (td, th) taps become NINE row-offset windows of
+# those three buffers — ``packed[td][th:th+H]`` reshaped (H·W, 3Ci) — because
+# an h-shift is a row shift of the flattened (H, W) grid.  Zero extra data
+# movement for 9 of the 27 taps' worth of windows.
+#
+# Contraction: 3·Ci lanes — Ci=32 → 96/128 = 75 % packed (vs XLA's 25 %),
+# Ci=64 → 192/256 = 75 % (vs 50 %), at 1/3 the VPU concat traffic of im2col.
+# Weights are trace-time rearranged to 9 blocks of (3·Ci, Co):
+# ``w9[td*3+th] = concat(w[td,th,0], w[td,th,1], w[td,th,2], axis=Ci)``.
+
+
+def _packed_kernel(x0, x1, x2, w_ref, b_ref, out_ref, acc):
+    h_out, w_out = out_ref.shape[2], out_ref.shape[3]
+    ci = x0.shape[-1]
+    hw = h_out * w_out
+
+    acc[...] = jnp.broadcast_to(
+        b_ref[0].astype(jnp.float32), (hw, out_ref.shape[-1]))
+    for td, xs in enumerate((x0, x1, x2)):
+        plane = xs[0, 0]  # (H+2, W+2, Ci)
+        # 2D lane-concat only — the 3D-value concat has no Mosaic lowering
+        # (module docstring).  After flattening (H+2, W) into rows, an
+        # h-shift is a row offset of th·W, so the 9 (td, th) windows are
+        # row-offset slices of three packed buffers.
+        packed = jnp.concatenate(
+            [plane[:, tw:tw + w_out, :].reshape((h_out + 2) * w_out, ci)
+             for tw in range(3)], axis=-1)  # ((H+2)·W, 3Ci)
+        for th in range(3):
+            window = packed[th * w_out: th * w_out + hw]
+            acc[...] += jnp.dot(window, w_ref[td * 3 + th],
+                                preferred_element_type=jnp.float32)
+    out_ref[0, 0] = acc[...].reshape(
+        h_out, w_out, out_ref.shape[-1]).astype(out_ref.dtype)
+
+
+def _packed_fwd(x: jax.Array, w: jax.Array, bias: jax.Array) -> jax.Array:
+    bsz, d, h, wd, ci = x.shape
+    co = w.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    # w (3,3,3,Ci,Co) → 9 × (3Ci, Co): block g=td*3+th stacks the tw taps
+    # tw-major over Ci — exactly the packed operand's lane order.
+    w9 = w.astype(x.dtype).reshape(9, 3 * ci, co)
+
+    def xspec(k):
+        return pl.BlockSpec((1, 1, h + 2, wd + 2, ci),
+                            lambda b, dd, k=k: (b, dd + k, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        _packed_kernel,
+        grid=(bsz, d),
+        in_specs=[xspec(0), xspec(1), xspec(2),
+                  pl.BlockSpec((9, 3 * ci, co), lambda b, dd: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, co), lambda b, dd: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, h, wd, co),
+                               lambda b, dd: (b, dd, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, d, h, wd, co), x.dtype),
+        scratch_shapes=[pltpu.VMEM((h * wd, co), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * d * h * wd * 27 * ci * co,
+            bytes_accessed=3 * xp.size * x.dtype.itemsize
+            + bsz * d * h * wd * co * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(xp, xp, xp, w9, bias.astype(x.dtype).reshape(1, co))
+
+
+@jax.custom_vjp
+def conv3d_packed(x: jax.Array, w: jax.Array, bias: jax.Array) -> jax.Array:
+    """SAME 3³ conv: tw-packed Pallas forward AND input-grad (the adjoint of
+    a SAME 3³ conv is the same conv on flipped/io-swapped weights, so dx
+    reuses the packed kernel and inherits its contraction packing);
+    filter-grad stays on XLA's transpose (spatial contraction — already
+    fully packed there)."""
+    return _packed_fwd(x, w, bias)
+
+
+def _packed_vjp_fwd(x, w, bias):
+    return _packed_fwd(x, w, bias), (x, w, jnp.zeros((0,), bias.dtype))
+
+
+def _packed_vjp_bwd(res, g):
+    x, w, bias_proto = res
+    w_t = jnp.flip(w, (0, 1, 2)).swapaxes(3, 4)
+    dx = _packed_fwd(g, w_t.astype(g.dtype),
+                     jnp.zeros((w.shape[3],), g.dtype)).astype(x.dtype)
+
+    def conv_w(w_):
+        return jax.lax.conv_general_dilated(
+            x, w_, (1, 1, 1), [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+    dw = jax.linear_transpose(conv_w, w.astype(x.dtype))(g)[0].astype(w.dtype)
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2, 3)).astype(
+        bias_proto.dtype)
+    return dx, dw, db
+
+
+conv3d_packed.defvjp(_packed_vjp_fwd, _packed_vjp_bwd)
+
+
 @jax.custom_vjp
 def conv3d_im2col(x: jax.Array, w: jax.Array, bias: jax.Array) -> jax.Array:
     """SAME 3³ conv: Pallas im2col forward, lax-transpose backward (the
