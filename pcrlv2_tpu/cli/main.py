@@ -359,6 +359,11 @@ def main(argv=None) -> None:
         loaders = _limit(DataGenerator(args).build(name), args.steps_per_epoch)
 
     if args.model == "pcrlv2" and args.phase == "pretask":
+        # upsample_masks=False (lazy deep-supervision upsample via
+        # lax.switch) measured SLOWER on v5e despite doing strictly less
+        # work — the conditional's control-flow barrier costs more than the
+        # unselected levels' zero-grad backward (59.2 vs 61.7 vols/s,
+        # BENCHMARKS.md) — so the reference-API eager form stays the default.
         if args.d == 3:
             model = PCRLv23d(policy=policy)
             aug_fn = make_luna_aug_fn(

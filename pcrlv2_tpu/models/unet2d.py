@@ -108,6 +108,11 @@ class PCRLv2(nn.Module):
     n_class: int = 3
     decoder_channels: tuple = (256, 128, 64, 32, 16)
     policy: Policy = DEFAULT_POLICY
+    #: when False, middle masks come back at native decoder resolutions and
+    #: the train step upsamples only the sampled level (see the 3D model's
+    #: docstring for the rationale); True matches the reference API
+    #: (``pcrlv2_model.py:192`` upsamples every level in-model).
+    upsample_masks: bool = True
 
     @nn.compact
     def __call__(self, x, local: bool = False, train: bool = True):
@@ -123,7 +128,9 @@ class PCRLv2(nn.Module):
                 ch, policy=p, name=f"block{i}")(x, train, local)
             decoder_outputs.append((x_pro, x_pre))
             if not local:
-                middle_masks.append(upsample_linear(x_mask, 2 ** (4 - i)))
+                middle_masks.append(
+                    upsample_linear(x_mask, 2 ** (4 - i))
+                    if self.upsample_masks else x_mask)
         masks = None
         if not local:
             # smp SegmentationHead: Conv3×3 16→n_class, xavier init

@@ -140,6 +140,16 @@ class PCRLv23d(nn.Module):
     #: rematerialize each transition's activations in the backward pass —
     #: trades ~⅓ more conv FLOPs for fitting ~2× the batch in HBM
     remat: bool = False
+    #: when False, middle masks are returned at their native decoder
+    #: resolutions (16³·8 / 32³·16 / 64³·32) instead of trilinearly
+    #: upsampled to input resolution (reference ``pcrlv2_model_3d.py:125-126``).
+    #: The train step then upsamples ONLY the level the sampled deep-
+    #: supervision term selects (``lax.switch`` in ``train.step``) — the other
+    #: two levels' upsample forwards and their whole backward paths are
+    #: skipped, which the stacked full-res form forces XLA to compute (their
+    #: gradients are exactly zero either way, so the trajectory is unchanged —
+    #: pinned by ``tests/test_train_step.py::test_native_masks_match_upsampled``)
+    upsample_masks: bool = True
 
     @nn.compact
     def __call__(self, x, local: bool = False, train: bool = True):
@@ -166,9 +176,12 @@ class PCRLv23d(nn.Module):
 
         middle_masks = []
         if not local:
-            middle_masks.append(upsample_linear(mask256, 4))
-            middle_masks.append(upsample_linear(mask128, 2))
-            middle_masks.append(mask64)
+            if self.upsample_masks:
+                middle_masks.append(upsample_linear(mask256, 4))
+                middle_masks.append(upsample_linear(mask128, 2))
+                middle_masks.append(mask64)
+            else:
+                middle_masks.extend([mask256, mask128, mask64])
         middle_features = [(pro256, pre256), (pro128, pre128), (pro64, pre64)]
 
         out = OutputTransition(self.n_class, policy=p, name="out_tr")(out64)

@@ -129,8 +129,27 @@ def make_loss_fn(model, *, dim: int = 3, beta_period: float = 240.0,
         # Pixel restoration + β-decayed deep-supervision MSE (train_3d.py:135-137).
         loss1 = mse_loss(out1, gt)
         beta = beta_schedule(epoch, beta_period)
-        stacked_masks = jnp.stack(masks1)  # all at full res → stackable
-        loss4 = beta * mse_loss(stacked_masks[index2], gt)
+        if masks1[0].shape == gt.shape:
+            # in-model upsampled masks (reference API): stack + dynamic index.
+            # XLA cannot DCE the unselected levels' upsample forwards or their
+            # backward paths (the index is traced), so every level pays.
+            stacked_masks = jnp.stack(masks1)
+            loss4 = beta * mse_loss(stacked_masks[index2], gt)
+        else:
+            # native-res masks (model built with upsample_masks=False): only
+            # the SELECTED level's upsample + MSE + backward runs — the
+            # unselected levels' gradients are exactly zero in both forms
+            # (torch autograd also only walks the selected path,
+            # train_3d.py:137), so the trajectory is identical and the
+            # unselected heads' BN stats still update in the model forward.
+            from pcrlv2_tpu.ops import upsample_linear
+
+            def mask_branch(mask):
+                scale = gt.shape[1] // mask.shape[1]
+                return lambda _: mse_loss(upsample_linear(mask, scale), gt)
+
+            loss4 = beta * jax.lax.switch(
+                index2, [mask_branch(m) for m in masks1], None)
 
         total = loss1 + loss2 + loss4 + local_loss
         metrics = {

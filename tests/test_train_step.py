@@ -155,3 +155,28 @@ def test_pipelined_step_matches_sequential():
     for a, c in zip(jax.tree.leaves(s.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_native_masks_match_upsampled(setup):
+    """A model with ``upsample_masks=False`` (lazy deep-supervision upsample,
+    ``lax.switch`` in the loss) takes the EXACT same training step as the
+    reference-API model — unselected levels' grads are zero either way."""
+    _, tx, state, step = setup
+    model_lazy = PCRLv23d(policy=PARITY_POLICY, upsample_masks=False)
+    step_lazy = jax.jit(make_train_step(model_lazy, tx, dim=3))
+
+    batch = tiny_batch()
+    for seed in (1, 5):  # different keys sample different mask levels
+        ref_state, ref_metrics = step(state, batch, jax.random.key(seed),
+                                      jnp.float32(1e-3), jnp.int32(0))
+        lazy_state, lazy_metrics = step_lazy(state, batch,
+                                             jax.random.key(seed),
+                                             jnp.float32(1e-3), jnp.int32(0))
+        np.testing.assert_allclose(float(lazy_metrics["loss"]),
+                                   float(ref_metrics["loss"]),
+                                   rtol=1e-6, atol=1e-7)
+        assert int(lazy_metrics["level"]) == int(ref_metrics["level"])
+        for a, b in zip(jax.tree.leaves(ref_state.params),
+                        jax.tree.leaves(lazy_state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
