@@ -161,3 +161,36 @@ def test_full_product_loop(tmp_path):
     assert sd["epoch"] == 0
     assert sd["state_dict"]["down_tr64.ops.0.conv1.weight"].shape == \
         (32, 1, 3, 3, 3)
+
+
+def test_chest_loader_canvas_plumbing(tmp_path):
+    """--chest_canvas reaches the host decoder: real PNG files on disk →
+    fixed-order eval loader + shuffled train loader, both decoding to the
+    requested canvas (the aug pipeline is canvas-agnostic,
+    test_augment2d.py)."""
+    from PIL import Image
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        Image.fromarray(
+            rng.randint(0, 255, (96, 80), np.uint8), "L").save(
+                img_dir / f"x{i}.png")
+    lst = tmp_path / "chest_train.txt"
+    lst.write_text("".join(f"x{i}.png" + " 0" * 14 + "\n" for i in range(4)))
+
+    args = build_parser().parse_args([
+        "--n", "chest", "--d", "2", "--data", str(img_dir),
+        "--train_list", str(lst), "--b", "2", "--ratio", "1.0",
+        "--chest_canvas", "160", "--workers", "1",
+    ])
+    loaders = DataGenerator(args).build("pcrlv2_chest_pretask")
+    batch = next(loaders["train"].epoch(0))
+    assert batch["image"].shape == (2, 160, 160, 3)
+    assert batch["image"].dtype == np.float32
+    # eval loader: fixed order (unshuffled) so the eval metric tracks the
+    # same samples every epoch
+    e1 = next(loaders["eval"].epoch(0))
+    e2 = next(loaders["eval"].epoch(1))
+    np.testing.assert_array_equal(e1["image"], e2["image"])
