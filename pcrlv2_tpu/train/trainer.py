@@ -327,6 +327,12 @@ class Trainer:
                 end = time.time()
             else:
                 end = time.time()
+        if idx >= 0 and meters["loss"].count == 0:
+            # epoch shorter than log_every: sync once so the epoch summary
+            # carries the real final-step losses instead of zeros
+            metrics = jax.device_get(metrics)
+            for k in ("cos_loss", "mg_loss", "local_loss", "loss"):
+                meters[k].update(float(metrics[k]), bsz)
         return {k: m.avg for k, m in meters.items()}
 
 
@@ -362,7 +368,14 @@ def run_training(model, cfg: TrainConfig, loader, aug_fn, dim: int,
             it = device_prefetch(loader.epoch(epoch), mesh=mesh)
             with jax.profiler.StepTraceAnnotation("epoch", step_num=epoch):
                 stats = trainer.train_epoch(epoch, it)
-            print(f"epoch {epoch}, total time {time.time() - t0:.2f}")
+            epoch_time = time.time() - t0
+            print(f"epoch {epoch}, total time {epoch_time:.2f}")
+            # epoch summary always lands in metrics.jsonl, even when the
+            # epoch is shorter than log_every iterations
+            trainer.logger.log(
+                {"epoch": epoch, "epoch_time": epoch_time,
+                 **{k: v for k, v in stats.items() if v == v}},
+                console=False)
             if (eval_loader is not None and cfg.eval_every
                     and epoch % cfg.eval_every == 0):
                 ev = trainer.evaluate(eval_loader.epoch(epoch))
