@@ -303,6 +303,11 @@ def process_subset(args) -> int:
     from pcrlv2_tpu.preprocess.mhd import load_volume_1mm
 
     subset_dir = os.path.join(cfg.data_dir, f"subset{subset_idx}")
+    if not os.path.isdir(subset_dir):
+        # partial download / smoke tree: the no---fold CLI sweeps all 10
+        # subsets, and absent ones should be skipped, not crash the Pool
+        print(f"subset{subset_idx}: not present, skipping")
+        return 0
     save_dir = os.path.join(cfg.save_dir, f"subset{subset_idx}")
     os.makedirs(save_dir, exist_ok=True)
     n = 0

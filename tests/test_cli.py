@@ -194,3 +194,23 @@ def test_chest_loader_canvas_plumbing(tmp_path):
     e1 = next(loaders["eval"].epoch(0))
     e2 = next(loaders["eval"].epoch(1))
     np.testing.assert_array_equal(e1["image"], e2["image"])
+
+
+def test_luna_preprocess_multiprocess(tmp_path):
+    """--procs 2 takes the multiprocessing.Pool path (reference
+    `luna_preprocess.py:350-351` uses Pool(5)); both folds' outputs land,
+    and concurrent first-use of the native .so goes through the flock-
+    serialized build."""
+    import luna_preprocess
+
+    data = tmp_path / "raw"
+    save = tmp_path / "processed"
+    _fake_luna_tree(str(data), n_subsets=2)
+    luna_preprocess.main([
+        "--data", str(data), "--save", str(save),
+        "--scale", "1", "--procs", "2",
+    ])
+    for s in (0, 1):
+        out = os.listdir(save / f"subset{s}")
+        assert any(f.endswith("_global_0.npy") for f in out)
+        assert any("_local_" in f for f in out)
