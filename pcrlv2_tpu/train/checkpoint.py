@@ -69,16 +69,28 @@ _f2t_linear = _t2f_linear
 # PCRLv23d mapping (reference models/pcrlv2_model_3d.py)
 # ---------------------------------------------------------------------------
 
-def _luconv_entries(tprefix: str, fpath: Tuple[str, ...]):
-    """(torch_key, flax_path, kind) triples for one LUConv (conv1 + bn1)."""
-    return [
+def _luconv_entries(tprefix: str, fpath: Tuple[str, ...], norm: str = "bn",
+                    act: str = "relu"):
+    """(torch_key, flax_path, kind) triples for one LUConv (conv1 + norm
+    [+ PReLU α]).  The reference's norm menu (``pcrlv2_model_3d.py:11-18``)
+    names the module ``bn1`` for all three kinds; gn/in carry affine
+    weight/bias but no running stats, and ``act='prelu'`` adds the
+    per-channel ``activation.weight`` (``:23``)."""
+    entries = [
         (f"{tprefix}.conv1.weight", fpath + ("conv1", "kernel"), "conv3d"),
         (f"{tprefix}.conv1.bias", fpath + ("conv1", "bias"), "id"),
         (f"{tprefix}.bn1.weight", fpath + ("bn1", "scale"), "id"),
         (f"{tprefix}.bn1.bias", fpath + ("bn1", "bias"), "id"),
-        (f"{tprefix}.bn1.running_mean", fpath + ("bn1", "mean"), "stat"),
-        (f"{tprefix}.bn1.running_var", fpath + ("bn1", "var"), "stat"),
     ]
+    if norm == "bn":
+        entries += [
+            (f"{tprefix}.bn1.running_mean", fpath + ("bn1", "mean"), "stat"),
+            (f"{tprefix}.bn1.running_var", fpath + ("bn1", "var"), "stat"),
+        ]
+    if act == "prelu":
+        entries.append((f"{tprefix}.activation.weight",
+                        fpath + ("PReLU_0", "alpha"), "id"))
+    return entries
 
 
 def _bn_entries(tprefix: str, fpath: Tuple[str, ...]):
@@ -90,19 +102,27 @@ def _bn_entries(tprefix: str, fpath: Tuple[str, ...]):
     ]
 
 
-def pcrlv23d_mapping():
-    """Full (torch_key, flax_path, kind) mapping for PCRLv23d."""
+def pcrlv23d_mapping(norm: str = "bn", act: str = "relu"):
+    """Full (torch_key, flax_path, kind) mapping for PCRLv23d.
+
+    ``norm``/``act`` mirror the reference constructor's menu
+    (``pcrlv2_model_3d.py:98``) so checkpoints of every variant
+    interoperate; the GAP/predictor BatchNorm1d heads stay BN regardless
+    (reference ``:57``), and the deep-supervision heads' sigmoid carries no
+    parameters."""
     entries = []
     for name in ["down_tr64", "down_tr128", "down_tr256", "down_tr512"]:
         for i in (0, 1):
-            entries += _luconv_entries(f"{name}.ops.{i}", (name, f"ops{i}"))
+            entries += _luconv_entries(f"{name}.ops.{i}", (name, f"ops{i}"),
+                                       norm, act)
     for name, depth in [("up_tr256", 2), ("up_tr128", 1), ("up_tr64", 0)]:
         entries += [
             (f"{name}.up_conv.weight", (name, "up_conv", "kernel"), "convT3d"),
             (f"{name}.up_conv.bias", (name, "up_conv", "bias"), "id"),
         ]
         for i in (0, 1):
-            entries += _luconv_entries(f"{name}.ops.{i}", (name, f"ops{i}"))
+            entries += _luconv_entries(f"{name}.ops.{i}", (name, f"ops{i}"),
+                                       norm, act)
         entries += _bn_entries(f"{name}.bn", (name, "bn"))
         entries += [
             (f"{name}.predictor_head.0.weight",
@@ -119,7 +139,8 @@ def pcrlv23d_mapping():
              (name, "predictor_head", "fc2", "bias"), "id"),
         ]
         entries += _luconv_entries(f"{name}.deep_supervision_head",
-                                   (name, "deep_supervision_head"))
+                                   (name, "deep_supervision_head"),
+                                   norm, "sigmoid")
     entries += [
         ("out_tr.final_conv.weight", ("out_tr", "final_conv", "kernel"), "conv3d"),
         ("out_tr.final_conv.bias", ("out_tr", "final_conv", "bias"), "id"),
