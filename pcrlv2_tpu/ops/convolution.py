@@ -98,6 +98,17 @@ def conv3d(
         return conv3d_local(x, w, b, axis_name=ax)
     impl = conv_impl()
     eligible = stride == 1 and w.shape[:3] == (3, 3, 3) and padding is None
+    if eligible and w.shape[-1] == 1:
+        from pcrlv2_tpu.ops.head_conv import (
+            conv3d_co1_tapmajor,
+            head_conv_impl,
+        )
+
+        if head_conv_impl() != "xla":
+            out = conv3d_co1_tapmajor(x, w)
+            if b is not None:
+                out = out + b.astype(out.dtype)
+            return out
     if impl == "pallas" and eligible:
         from pcrlv2_tpu.ops.pallas_conv import conv3d_pallas
 

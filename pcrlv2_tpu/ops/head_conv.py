@@ -1,0 +1,142 @@
+"""Tap-major formulation of the Co=1 3³ conv (deep-supervision mask heads).
+
+The 3D model's per-level ``deep_supervision_head`` is a ``Conv3d(C→1, k=3)``
+(reference ``pcrlv2_model_3d.py:60,71``).  XLA lowers the 64³-spatial instance
+as a dense conv with the single output channel padded to the 128-lane tile —
+a 1.86 TFLOP 64→128 conv, ~11-13 ms in-program per global forward plus a
+similar backward (BENCHMARKS.md "Co=1 mask-head reformulations"), the largest
+non-skeleton cost left in the fused step.
+
+This module contracts the channels FIRST, where the MXU is efficient, and
+only then combines the 27 taps with static shifted-slice adds that XLA
+loop-fuses:
+
+    y[b,z,y,x,t] = Σ_c  x[b,z,y,x,c] · K[c,t]          (one (N,Ci)@(Ci,27) matmul)
+    out[b,p]     = Σ_t  y[b, p + off_t - 1, t]          (27 static slices, f32 acc)
+
+where ``K[c, t]`` is the kernel with its 27 spatial taps flattened tap-major
+(t = 9·dz + 3·dy + dx) and ``off_t = (dz, dy, dx)``.  The matmul executes
+~27× fewer (padded) MXU FLOPs than XLA's channel-padded conv; the combine is
+memory-bound on the small Co=1 output.
+
+The backward pass uses the same trick in reverse (``custom_vjp``):
+
+    g27[b,q,t] = g[b, q - off_t + 1]                    (27 shifted slices)
+    dx         = g27 @ Kᵀ                               ((N,27)@(27,Ci) matmul)
+    dK[c,t]    = Σ_n x[n,c] · g27[n,t]                  ((Ci,N)@(N,27) matmul)
+
+Two layouts for the intermediate (selected by ``PCRL_HEADCONV``):
+
+* ``tapA`` — keep ``t`` as a trailing 27-wide dim.  Simple, but the minor dim
+  pads to the 128-lane tile in TPU memory (≈4.7× footprint on the
+  intermediate).
+* ``tapD`` — reshape to ``(B, D, H, W·27)`` so lanes are ~97 % packed; the
+  combine then reads strided lane slices.
+
+Default is ``xla`` (the padded dense conv) until the hardware measurement
+says otherwise; flip with ``PCRL_HEADCONV=tapA`` / ``tapD``.
+
+Numerics: the channel contraction accumulates in f32 on the MXU exactly like
+the dense conv; the only difference is one extra rounding of the per-tap
+partials to the compute dtype before the f32 tap sum.  In f32 the two paths
+agree to ~1e-6 (pinned by ``tests/test_ops.py``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+#: tap index t = 9·dz + 3·dy + dx — row-major order of w.reshape(27, Ci)
+OFFSETS = [(dz, dy, dx) for dz in range(3) for dy in range(3)
+           for dx in range(3)]
+
+
+def head_conv_impl() -> str:
+    """``PCRL_HEADCONV``: ``xla`` (default), ``tapA``, or ``tapD``."""
+    return os.environ.get("PCRL_HEADCONV", "xla")
+
+
+def _flatten_kernel(w: jax.Array, dtype) -> jax.Array:
+    """(3,3,3,Ci,1) DHWIO kernel → (Ci, 27) tap-major columns."""
+    ci = w.shape[3]
+    return w.reshape(27, ci).T.astype(dtype)
+
+
+def _combine_taps_a(y: jax.Array) -> jax.Array:
+    """Σ_t of shifted slices of ``y`` (B,D,H,W,27), f32 accumulation."""
+    b, d, h, wd, _ = y.shape
+    yp = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    out = None
+    for t, (dz, dy, dx) in enumerate(OFFSETS):
+        s = yp[:, dz:dz + d, dy:dy + h, dx:dx + wd, t].astype(jnp.float32)
+        out = s if out is None else out + s
+    return out
+
+
+def _combine_taps_d(y: jax.Array) -> jax.Array:
+    """Same combine with the 27 taps packed into the lane dim (W·27)."""
+    b, d, h, wd, _ = y.shape
+    yl = y.reshape(b, d, h, wd * 27)
+    yp = jnp.pad(yl, ((0, 0), (1, 1), (1, 1), (27, 27)))
+    out = None
+    for t, (dz, dy, dx) in enumerate(OFFSETS):
+        s = lax.slice(
+            yp, (0, dz, dy, dx * 27 + t),
+            (b, dz + d, dy + h, dx * 27 + t + (wd - 1) * 27 + 1),
+            (1, 1, 1, 27)).astype(jnp.float32)
+        out = s if out is None else out + s
+    return out
+
+
+@jax.custom_vjp
+def conv3d_co1_tapmajor(x: jax.Array, w: jax.Array) -> jax.Array:
+    """SAME-padded stride-1 3³ conv with Co=1, tap-major MXU formulation.
+
+    ``x`` NDHWC, ``w`` (3, 3, 3, Ci, 1).  Equals
+    ``lax.conv_general_dilated(x, w, SAME)`` up to one bf16 rounding of the
+    per-tap partial sums (exact in f32).
+    """
+    return _fwd(x, w)[0]
+
+
+def _fwd(x, w):
+    k = _flatten_kernel(w, x.dtype)
+    y = jnp.einsum("bdhwc,ct->bdhwt", x, k)
+    combine = (_combine_taps_d if head_conv_impl() == "tapD"
+               else _combine_taps_a)
+    out = combine(y)[..., None].astype(x.dtype)
+    return out, (x, w)
+
+
+def _shifted_cotangent_stack(g: jax.Array) -> jax.Array:
+    """g (B,D,H,W) → g27 (B,D,H,W,27) with g27[..., t] = g at (q - off_t + 1)."""
+    b, d, h, wd = g.shape
+    gp = jnp.pad(g, ((0, 0), (1, 1), (1, 1), (1, 1)))
+    return jnp.stack(
+        [gp[:, 2 - dz:2 - dz + d, 2 - dy:2 - dy + h, 2 - dx:2 - dx + wd]
+         for (dz, dy, dx) in OFFSETS], axis=-1)
+
+
+def _bwd(res, g):
+    x, w = res
+    k = _flatten_kernel(w, x.dtype)
+    g27 = _shifted_cotangent_stack(g[..., 0].astype(x.dtype))
+    dx = jnp.einsum("bdhwt,ct->bdhwc", g27, k).astype(x.dtype)
+    if jax.default_backend() in ("tpu", "axon"):
+        # bf16 contraction with f32 accumulation/output — the MXU-native mode
+        dk = jnp.einsum("bdhwc,bdhwt->ct", x, g27,
+                        preferred_element_type=jnp.float32)
+    else:
+        # CPU's dot thunk can't emit BF16 × BF16 = F32 — upcast instead
+        dk = jnp.einsum("bdhwc,bdhwt->ct", x.astype(jnp.float32),
+                        g27.astype(jnp.float32))
+    ci = x.shape[-1]
+    dw = dk.T.reshape(3, 3, 3, ci, 1).astype(w.dtype)
+    return dx, dw
+
+
+conv3d_co1_tapmajor.defvjp(_fwd, _bwd)
