@@ -180,3 +180,26 @@ def test_native_masks_match_upsampled(setup):
                         jax.tree.leaves(lazy_state.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-6, atol=1e-7)
+
+
+def test_tapmajor_head_conv_matches_default_step(setup, monkeypatch):
+    """A full fused train step with PCRL_HEADCONV=tapA/tapD (tap-major Co=1
+    deep-supervision head, ops/head_conv.py) matches the default XLA-conv
+    step at every parameter leaf (f32 parity policy)."""
+    model, tx, state, step = setup
+    batch = tiny_batch()
+    ref_state, ref_metrics = step(state, batch, jax.random.key(3),
+                                  jnp.float32(1e-3), jnp.int32(0))
+    for variant in ("tapA", "tapD"):
+        monkeypatch.setenv("PCRL_HEADCONV", variant)
+        # fresh trace so the env gate is re-read
+        step_tap = jax.jit(make_train_step(model, tx, dim=3))
+        tap_state, tap_metrics = step_tap(state, batch, jax.random.key(3),
+                                          jnp.float32(1e-3), jnp.int32(0))
+        np.testing.assert_allclose(float(tap_metrics["loss"]),
+                                   float(ref_metrics["loss"]),
+                                   rtol=1e-5, atol=1e-6)
+        for a, b in zip(jax.tree.leaves(ref_state.params),
+                        jax.tree.leaves(tap_state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
