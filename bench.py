@@ -50,13 +50,23 @@ BASELINE_LOWER = 3.75   # reference input-bound estimate (per GPU)
 BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 WARMUP = int(os.environ.get("BENCH_WARMUP", "3"))
 STEPS = int(os.environ.get("BENCH_STEPS", "20"))
+# BENCH_PRNG=rbg A/Bs the hardware RNG key impl for the on-device aug
+# (threefry is the deterministic default; rbg trades exact cross-run key
+# semantics for cheaper random-bit generation on TPU)
+PRNG_IMPL = os.environ.get("BENCH_PRNG") or None
 DIM = int(os.environ.get("BENCH_DIM", "3"))  # 3 = LUNA (headline), 2 = chest
 BASELINE_CHEST_IMGS_PER_SEC_PER_CHIP = 120.0  # V100-era estimate, 2D is ~4x lighter
 
 
 def main():
+    import functools
+
     import jax
     import jax.numpy as jnp
+
+    global key_fn
+    key_fn = (functools.partial(jax.random.key, impl=PRNG_IMPL)
+              if PRNG_IMPL else jax.random.key)
 
     from pcrlv2_tpu.data.augment2d import make_chest_aug_fn
     from pcrlv2_tpu.data.augment3d import make_luna_aug_fn
@@ -75,7 +85,7 @@ def main():
         model = PCRLv2()
         tx = sgd()
         sample = jnp.zeros((batch_n, 224, 224, 3), jnp.float32)
-        state = create_train_state(model, tx, jax.random.key(0), sample)
+        state = create_train_state(model, tx, key_fn(0), sample)
         aug_fn = make_chest_aug_fn()
         aug = jax.jit(aug_fn)
         pipe = jax.jit(make_pipelined_train_step(model, tx, aug_fn, dim=2,
@@ -94,7 +104,7 @@ def main():
     model = PCRLv23d(upsample_masks=os.environ.get("BENCH_LAZY_MASKS", "0") != "1")
     tx = sgd()
     sample = jnp.zeros((BATCH, 64, 64, 32, 1), jnp.float32)
-    state = create_train_state(model, tx, jax.random.key(0), sample)
+    state = create_train_state(model, tx, key_fn(0), sample)
 
     # production path: the step + NEXT batch's aug in ONE program (one
     # dispatch per step; device-time-neutral in this saturated loop, hides
@@ -121,18 +131,18 @@ def run_bench_pipelined(jax, aug, pipe, state, batch, bsz, n_chips, metric,
     def sync(x):
         return jax.device_get(jax.tree.leaves(x)[0].ravel()[0:1])
 
-    views = aug(jax.random.key(999), batch)
+    views = aug(key_fn(999), batch)
     for i in range(WARMUP):
-        state, metrics, views = pipe(state, views, batch, jax.random.key(i),
-                                     jax.random.key(1000 + i), lr, epoch)
+        state, metrics, views = pipe(state, views, batch, key_fn(i),
+                                     key_fn(1000 + i), lr, epoch)
     sync(metrics)
     sync(state.params)
 
     t0 = time.perf_counter()
     for i in range(STEPS):
         state, metrics, views = pipe(state, views, batch,
-                                     jax.random.key(100 + i),
-                                     jax.random.key(2000 + i), lr, epoch)
+                                     key_fn(100 + i),
+                                     key_fn(2000 + i), lr, epoch)
     sync(metrics)
     sync(state.params)
     dt = time.perf_counter() - t0
@@ -169,15 +179,15 @@ def run_bench(jax, aug, step, state, batch, bsz, n_chips, metric, unit,
         return jax.device_get(jax.tree.leaves(x)[0].ravel()[0:1])
 
     for i in range(WARMUP):
-        views = aug(jax.random.key(1000 + i), batch)
-        state, metrics = step(state, views, jax.random.key(i), lr, epoch)
+        views = aug(key_fn(1000 + i), batch)
+        state, metrics = step(state, views, key_fn(i), lr, epoch)
     sync(metrics)
     sync(state.params)
 
     t0 = time.perf_counter()
     for i in range(STEPS):
-        views = aug(jax.random.key(2000 + i), batch)
-        state, metrics = step(state, views, jax.random.key(100 + i), lr, epoch)
+        views = aug(key_fn(2000 + i), batch)
+        state, metrics = step(state, views, key_fn(100 + i), lr, epoch)
     sync(metrics)
     sync(state.params)
     dt = time.perf_counter() - t0
