@@ -56,7 +56,8 @@ OFFSETS = [(dz, dy, dx) for dz in range(3) for dy in range(3)
 
 
 def head_conv_impl() -> str:
-    """``PCRL_HEADCONV``: ``xla`` (default), ``tapA``, or ``tapD``."""
+    """``PCRL_HEADCONV``: ``xla`` (default), ``tapA``, ``tapD``, or the
+    mixed ``tapAx``/``tapDx`` (tap-major forward, XLA conv backward)."""
     return os.environ.get("PCRL_HEADCONV", "xla")
 
 
@@ -106,7 +107,7 @@ def conv3d_co1_tapmajor(x: jax.Array, w: jax.Array) -> jax.Array:
 def _fwd(x, w):
     k = _flatten_kernel(w, x.dtype)
     y = jnp.einsum("bdhwc,ct->bdhwt", x, k)
-    combine = (_combine_taps_d if head_conv_impl() == "tapD"
+    combine = (_combine_taps_d if head_conv_impl().startswith("tapD")
                else _combine_taps_a)
     out = combine(y)[..., None].astype(x.dtype)
     return out, (x, w)
@@ -123,6 +124,18 @@ def _shifted_cotangent_stack(g: jax.Array) -> jax.Array:
 
 def _bwd(res, g):
     x, w = res
+    if head_conv_impl().endswith("x"):
+        # Mixed variant (``tapAx``/``tapDx``): tap-major forward, XLA's own
+        # conv backward — for the case where the shifted-stack backward
+        # measures slower than XLA's transposed-conv lowering.
+        def ref_conv(x_, w_):
+            return lax.conv_general_dilated(
+                x_, w_.astype(x_.dtype), (1, 1, 1), [(1, 1)] * 3,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+        _, vjp = jax.vjp(ref_conv, x, w)
+        dx, dw = vjp(g.astype(x.dtype))
+        return dx, dw.astype(w.dtype)
     k = _flatten_kernel(w, x.dtype)
     g27 = _shifted_cotangent_stack(g[..., 0].astype(x.dtype))
     dx = jnp.einsum("bdhwt,ct->bdhwc", g27, k).astype(x.dtype)

@@ -22,6 +22,7 @@ run proto_co1 1200 python tools/proto_co1_tapmajor.py xla,opsA,opsD
 run bench_default 900 python bench.py
 run bench_tapA 900 env PCRL_HEADCONV=tapA python bench.py
 run bench_tapD 900 env PCRL_HEADCONV=tapD python bench.py
+run bench_tapDx 900 env PCRL_HEADCONV=tapDx python bench.py
 run bench_rbg 900 env BENCH_PRNG=rbg python bench.py
 run bench_vmem64m 900 env XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=65536 python bench.py
 echo "=== matrix done ($(date +%H:%M:%S)) ===" | tee -a "$LOG"
