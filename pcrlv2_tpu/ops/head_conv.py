@@ -32,9 +32,17 @@ Two layouts for the intermediate (selected by ``PCRL_HEADCONV``):
   intermediate).
 * ``tapD`` — reshape to ``(B, D, H, W·27)`` so lanes are ~97 % packed; the
   combine then reads strided lane slices.
+* ``tapP`` — a Pallas kernel that never materializes the intermediate in
+  HBM: per (batch, depth) program it lane-packs the three depth planes
+  (halo via depth-shifted block streams, the ``pallas_conv._im2col_fwd``
+  pattern), folds the td taps into one ``(hw, 3Ci) @ (3Ci, 9)`` MXU dot,
+  and does the 9-way (th, tw) shifted combine in VMEM — HBM traffic is the
+  x read + the Co=1 output write, the formulation's floor.
+* a trailing ``x`` (``tapAx``/``tapDx``/``tapPx``) keeps the tap-major
+  forward but XLA's own conv backward.
 
 Default is ``xla`` (the padded dense conv) until the hardware measurement
-says otherwise; flip with ``PCRL_HEADCONV=tapA`` / ``tapD``.
+says otherwise; flip with ``PCRL_HEADCONV=<variant>``.
 
 Numerics: the channel contraction accumulates in f32 on the MXU exactly like
 the dense conv; the only difference is one extra rounding of the per-tap
@@ -93,6 +101,72 @@ def _combine_taps_d(y: jax.Array) -> jax.Array:
     return out
 
 
+def _pallas_kernel(x0, x1, x2, w_ref, out_ref):
+    """One (batch, depth) program: lane-pack the three depth planes, one MXU
+    dot folding the td taps into the contraction, 9-way shifted combine in
+    VMEM.  HBM traffic is x-read + out-write only."""
+    h_out, w_out = out_ref.shape[2], out_ref.shape[3]
+    ci = x0.shape[-1]
+    hw2 = (h_out + 2) * (w_out + 2)
+
+    packed = jnp.concatenate(
+        [p[0, 0].reshape(hw2, ci) for p in (x0, x1, x2)], axis=-1)
+    # y[p, th·3+tw] = Σ_td Σ_c plane_td[p, c] · w[td, th, tw, c]
+    y = jnp.dot(packed, w_ref[0], preferred_element_type=jnp.float32)
+    y3 = y.reshape(h_out + 2, w_out + 2, 9)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 9), 2)
+    acc = None
+    for th in range(3):
+        for tw in range(3):
+            window = y3[th:th + h_out, tw:tw + w_out, :]
+            s = jnp.sum(jnp.where(lane == th * 3 + tw, window, 0.0), axis=-1)
+            acc = s if acc is None else acc + s
+    out_ref[0, 0] = acc[..., None].astype(out_ref.dtype)
+
+
+def _pallas_fwd(x: jax.Array, w: jax.Array) -> jax.Array:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bsz, d, h, wd, ci = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    # (3Ci, 9): row c + td·Ci, column th·3+tw — td-major rows match the
+    # packed operand's [x0 | x1 | x2] lane order
+    wmat = jnp.transpose(w.reshape(3, 9, ci), (0, 2, 1)).reshape(
+        1, 3 * ci, 9).astype(x.dtype)
+
+    def xspec(k):
+        # three depth-shifted streams of the same padded array carry the
+        # halo; Mosaic double-buffers each stream (same pattern as
+        # pallas_conv._im2col_fwd)
+        return pl.BlockSpec((1, 1, h + 2, wd + 2, ci),
+                            lambda b, dd, k=k: (b, dd + k, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        _pallas_kernel,
+        grid=(bsz, d),
+        in_specs=[xspec(0), xspec(1), xspec(2),
+                  pl.BlockSpec((1, 3 * ci, 9), lambda b, dd: (0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, h, wd, 1),
+                               lambda b, dd: (b, dd, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, d, h, wd, 1), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * d * h * wd * 27 * ci,
+            bytes_accessed=3 * xp.size * x.dtype.itemsize
+            + bsz * d * h * wd * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(xp, xp, xp, wmat)
+    return out
+
+
 @jax.custom_vjp
 def conv3d_co1_tapmajor(x: jax.Array, w: jax.Array) -> jax.Array:
     """SAME-padded stride-1 3³ conv with Co=1, tap-major MXU formulation.
@@ -105,9 +179,12 @@ def conv3d_co1_tapmajor(x: jax.Array, w: jax.Array) -> jax.Array:
 
 
 def _fwd(x, w):
+    impl = head_conv_impl()
+    if impl.startswith("tapP"):
+        return _pallas_fwd(x, w), (x, w)
     k = _flatten_kernel(w, x.dtype)
     y = jnp.einsum("bdhwc,ct->bdhwt", x, k)
-    combine = (_combine_taps_d if head_conv_impl().startswith("tapD")
+    combine = (_combine_taps_d if impl.startswith("tapD")
                else _combine_taps_a)
     out = combine(y)[..., None].astype(x.dtype)
     return out, (x, w)

@@ -190,7 +190,7 @@ def test_tapmajor_head_conv_matches_default_step(setup, monkeypatch):
     batch = tiny_batch()
     ref_state, ref_metrics = step(state, batch, jax.random.key(3),
                                   jnp.float32(1e-3), jnp.int32(0))
-    for variant in ("tapA", "tapD"):
+    for variant in ("tapA", "tapD", "tapP"):
         monkeypatch.setenv("PCRL_HEADCONV", variant)
         # fresh trace so the env gate is re-read
         step_tap = jax.jit(make_train_step(model, tx, dim=3))

@@ -18,10 +18,11 @@ run() {  # run <label> <timeout_s> <cmd...>
   timeout "$t" "$@" 2>&1 | tail -6 | tee -a "$LOG"
 }
 
-run proto_co1 1200 python tools/proto_co1_tapmajor.py xla,opsA,opsD
+run proto_co1 1800 python tools/proto_co1_tapmajor.py xla,opsA,opsD,opsP
 run bench_default 900 python bench.py
 run bench_tapA 900 env PCRL_HEADCONV=tapA python bench.py
 run bench_tapD 900 env PCRL_HEADCONV=tapD python bench.py
+run bench_tapP 900 env PCRL_HEADCONV=tapP python bench.py
 run bench_tapDx 900 env PCRL_HEADCONV=tapDx python bench.py
 run bench_rbg 900 env BENCH_PRNG=rbg python bench.py
 run bench_vmem64m 900 env XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=65536 python bench.py
