@@ -57,6 +57,8 @@ import os
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 #: tap index t = 9·dz + 3·dy + dx — row-major order of w.reshape(27, Ci)
 OFFSETS = [(dz, dy, dx) for dz in range(3) for dy in range(3)
@@ -125,9 +127,6 @@ def _pallas_kernel(x0, x1, x2, w_ref, out_ref):
 
 
 def _pallas_fwd(x: jax.Array, w: jax.Array) -> jax.Array:
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     bsz, d, h, wd, ci = x.shape
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
     # (3Ci, 9): row c + td·Ci, column th·3+tw — td-major rows match the
@@ -165,6 +164,86 @@ def _pallas_fwd(x: jax.Array, w: jax.Array) -> jax.Array:
         interpret=jax.default_backend() == "cpu",
     )(xp, xp, xp, wmat)
     return out
+
+
+def _pallas_bwd_kernel(x_blk, g0, g1, g2, k_ref, dx_ref, dw_ref, dw_acc):
+    """One (batch, depth) program of the fused head backward.
+
+    dx[q, c] = Σ_t g(q - off_t + 1) · K[c, t]   (27 VPU broadcast-FMAs)
+    dK[c, t] = Σ_q x[q, c] · g(q - off_t + 1)   (27 (Ci,hw)@(hw,1) dots,
+                                                 accumulated across the grid)
+    Stream k carries gp[b, d + k] = g[b, d + k - 1], so tap td reads stream
+    2 - td; within a plane tap (th, tw) reads the (2-th, 2-tw) window.
+    """
+    b = pl.program_id(0)
+    d = pl.program_id(1)
+    h_out, w_out = dx_ref.shape[2], dx_ref.shape[3]
+    ci = x_blk.shape[-1]
+    hw = h_out * w_out
+
+    @pl.when(jnp.logical_and(b == 0, d == 0))
+    def _():
+        dw_acc[...] = jnp.zeros_like(dw_acc)
+
+    planes = (g0[0, 0, :, :, 0], g1[0, 0, :, :, 0], g2[0, 0, :, :, 0])
+    x2d = x_blk[0, 0].reshape(hw, ci)
+    dx = None
+    for t, (td, th, tw) in enumerate(OFFSETS):
+        window = planes[2 - td][2 - th:2 - th + h_out,
+                                2 - tw:2 - tw + w_out].reshape(hw, 1)
+        kcol = k_ref[0, :, t].reshape(1, ci)
+        term = window.astype(jnp.float32) * kcol.astype(jnp.float32)
+        dx = term if dx is None else dx + term
+        dw_acc[:, t:t + 1] += jax.lax.dot_general(
+            x2d, window, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    dx_ref[0, 0] = dx.reshape(h_out, w_out, ci).astype(dx_ref.dtype)
+
+    @pl.when(jnp.logical_and(b == pl.num_programs(0) - 1,
+                             d == pl.num_programs(1) - 1))
+    def _():
+        dw_ref[...] = dw_acc[...]
+
+
+def _pallas_bwd(x: jax.Array, w: jax.Array, g: jax.Array):
+    bsz, d, h, wd, ci = x.shape
+    gp = jnp.pad(g, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0))).astype(x.dtype)
+    k = _flatten_kernel(w, x.dtype).reshape(1, ci, 27)
+
+    def gspec(kk):
+        return pl.BlockSpec((1, 1, h + 2, wd + 2, 1),
+                            lambda b, dd, kk=kk: (b, dd + kk, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    dx, dk = pl.pallas_call(
+        _pallas_bwd_kernel,
+        grid=(bsz, d),
+        in_specs=[pl.BlockSpec((1, 1, h, wd, ci),
+                               lambda b, dd: (b, dd, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  gspec(0), gspec(1), gspec(2),
+                  pl.BlockSpec((1, ci, 27), lambda b, dd: (0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((1, 1, h, wd, ci),
+                                lambda b, dd: (b, dd, 0, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((ci, 27), lambda b, dd: (0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((bsz, d, h, wd, ci), x.dtype),
+                   jax.ShapeDtypeStruct((ci, 27), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((ci, 27), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bsz * d * h * wd * 27 * ci,
+            bytes_accessed=(x.size + 3 * gp.size + x.size) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(x, gp, gp, gp, k)
+    dw = dk.T.reshape(3, 3, 3, ci, 1).astype(w.dtype)
+    return dx, dw
 
 
 @jax.custom_vjp
@@ -213,6 +292,8 @@ def _bwd(res, g):
         _, vjp = jax.vjp(ref_conv, x, w)
         dx, dw = vjp(g.astype(x.dtype))
         return dx, dw.astype(w.dtype)
+    if head_conv_impl().startswith("tapP"):
+        return _pallas_bwd(x, w, g)
     k = _flatten_kernel(w, x.dtype)
     g27 = _shifted_cotangent_stack(g[..., 0].astype(x.dtype))
     dx = jnp.einsum("bdhwt,ct->bdhwc", g27, k).astype(x.dtype)

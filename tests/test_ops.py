@@ -196,7 +196,7 @@ class TestHeadConvTapMajor:
         g = jax.random.normal(kg, shape + (1,), jnp.float32)
         return x, w, g
 
-    @pytest.mark.parametrize("variant", ["tapA", "tapD", "tapDx", "tapP"])
+    @pytest.mark.parametrize("variant", ["tapA", "tapD", "tapDx", "tapP", "tapPx"])
     def test_fwd_and_grads_match_xla(self, variant, monkeypatch):
         import jax
         from pcrlv2_tpu.ops.head_conv import conv3d_co1_tapmajor
