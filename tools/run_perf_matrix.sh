@@ -23,6 +23,7 @@ run bench_default 900 python bench.py
 run bench_tapA 900 env PCRL_HEADCONV=tapA python bench.py
 run bench_tapD 900 env PCRL_HEADCONV=tapD python bench.py
 run bench_tapP 900 env PCRL_HEADCONV=tapP python bench.py
+run bench_tapPx 900 env PCRL_HEADCONV=tapPx python bench.py
 run bench_tapDx 900 env PCRL_HEADCONV=tapDx python bench.py
 run bench_rbg 900 env BENCH_PRNG=rbg python bench.py
 run bench_vmem64m 900 env XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=65536 python bench.py
