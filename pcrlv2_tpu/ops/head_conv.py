@@ -104,17 +104,22 @@ def _combine_taps_d(y: jax.Array) -> jax.Array:
 
 
 def _pallas_kernel(x0, x1, x2, w_ref, out_ref):
-    """One (batch, depth) program: lane-pack the three depth planes, one MXU
-    dot folding the td taps into the contraction, 9-way shifted combine in
-    VMEM.  HBM traffic is x-read + out-write only."""
+    """One (batch, depth) program: one MXU dot per depth plane folding the
+    td taps into the contraction (accumulated in f32 — no packed
+    ``(hw2, 3Ci)`` copy, which blew the 16M scoped-VMEM stack at the 64³
+    shape), 9-way shifted combine in VMEM.  HBM traffic is x-read +
+    out-write only."""
     h_out, w_out = out_ref.shape[2], out_ref.shape[3]
     ci = x0.shape[-1]
     hw2 = (h_out + 2) * (w_out + 2)
 
-    packed = jnp.concatenate(
-        [p[0, 0].reshape(hw2, ci) for p in (x0, x1, x2)], axis=-1)
     # y[p, th·3+tw] = Σ_td Σ_c plane_td[p, c] · w[td, th, tw, c]
-    y = jnp.dot(packed, w_ref[0], preferred_element_type=jnp.float32)
+    y = None
+    for td, p in enumerate((x0, x1, x2)):
+        part = jnp.dot(p[0, 0].reshape(hw2, ci),
+                       w_ref[0, td * ci:(td + 1) * ci],
+                       preferred_element_type=jnp.float32)
+        y = part if y is None else y + part
     y3 = y.reshape(h_out + 2, w_out + 2, 9)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 9), 2)
     acc = None
