@@ -33,10 +33,11 @@ Two layouts for the intermediate (selected by ``PCRL_HEADCONV``):
 * ``tapD`` — reshape to ``(B, D, H, W·27)`` so lanes are ~97 % packed; the
   combine then reads strided lane slices.
 * ``tapP`` — a Pallas kernel that never materializes the intermediate in
-  HBM: per (batch, depth) program it lane-packs the three depth planes
+  HBM: per (batch, depth) program it streams the three depth planes
   (halo via depth-shifted block streams, the ``pallas_conv._im2col_fwd``
-  pattern), folds the td taps into one ``(hw, 3Ci) @ (3Ci, 9)`` MXU dot,
-  and does the 9-way (th, tw) shifted combine in VMEM — HBM traffic is the
+  pattern), runs one ``(hw, Ci) @ (Ci, 9)`` MXU dot per depth plane and
+  accumulates the three in f32 (folding the td taps into the sum), then
+  does the 9-way (th, tw) shifted combine in VMEM — HBM traffic is the
   x read + the Co=1 output write, the formulation's floor.
 * a trailing ``x`` (``tapAx``/``tapDx``/``tapPx``) keeps the tap-major
   forward but XLA's own conv backward.
@@ -134,8 +135,8 @@ def _pallas_kernel(x0, x1, x2, w_ref, out_ref):
 def _pallas_fwd(x: jax.Array, w: jax.Array) -> jax.Array:
     bsz, d, h, wd, ci = x.shape
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
-    # (3Ci, 9): row c + td·Ci, column th·3+tw — td-major rows match the
-    # packed operand's [x0 | x1 | x2] lane order
+    # (3Ci, 9): row c + td·Ci, column th·3+tw — td-major rows: the kernel
+    # slices rows td*Ci:(td+1)*Ci for depth tap td
     wmat = jnp.transpose(w.reshape(3, 9, ci), (0, 2, 1)).reshape(
         1, 3 * ci, 9).astype(x.dtype)
 

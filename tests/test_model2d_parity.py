@@ -68,6 +68,64 @@ class _ResNet18(tnn.Module):
         return feats
 
 
+def _resnet18_with_fc():
+    """The replica extended with torchvision's trailing ``fc`` so its
+    state_dict is key-for-key the schema real ImageNet weights ship in
+    (torchvision defines conv1, bn1, relu, maxpool, layer1-4, avgpool, fc;
+    relu/maxpool/avgpool carry no parameters)."""
+    m = _ResNet18()
+    m.fc = tnn.Linear(512, 1000)
+    return m
+
+
+def test_torchvision_schema_fixture_pinned():
+    """The checked-in schema fixture is exactly the replica's state_dict:
+    122 keys (20 convs, 20 BN×5 incl. num_batches_tracked, fc.weight/bias),
+    in torchvision's definition order, with torchvision's shapes/dtypes.
+    This is what `--encoder_weights` receives from
+    ``torchvision.models.resnet18(weights='IMAGENET1K_V1').state_dict()``."""
+    import os
+    sd = _resnet18_with_fc().state_dict()
+    got = [f"{k} {tuple(v.shape)} {str(v.dtype).replace('torch.', '')}"
+           for k, v in sd.items()]
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "torchvision_resnet18_schema.txt")
+    with open(fixture) as f:
+        want = [ln.strip() for ln in f if ln.strip()
+                and not ln.startswith("#")]
+    assert got == want
+    assert len(got) == 122
+
+
+def test_import_consumes_full_torchvision_schema(tmp_path):
+    """Every tensor in the real torchvision schema must be either loaded
+    numerically into the Flax encoder or be one of the documented drops
+    (``fc.*`` — README.md:42-43 patches them to zero anyway — and the BN
+    ``num_batches_tracked`` step counters, which have no Flax analog).
+    Round-trips import→export and checks exact value equality per key, so a
+    silently-ignored or layout-mangled weight cannot pass."""
+    torch.manual_seed(3)
+    tmodel = _resnet18_with_fc()
+    for m in tmodel.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            m.running_mean.uniform_(-0.3, 0.3)
+            m.running_var.uniform_(0.7, 1.5)
+    sd = tmodel.state_dict()
+    pt = tmp_path / "resnet18_imagenet_schema.pt"
+    torch.save(sd, str(pt))
+
+    variables, _ = ckpt_lib.import_resnet18_encoder(str(pt))
+    back = ckpt_lib.flax_to_torch_state(
+        variables, ckpt_lib.resnet18_encoder_mapping())
+
+    dropped = {k for k in sd if k not in back}
+    assert dropped == {"fc.weight", "fc.bias"} | {
+        k for k in sd if k.endswith("num_batches_tracked")}
+    for k, v in back.items():
+        np.testing.assert_array_equal(
+            v, sd[k].numpy(), err_msg=k)
+
+
 def test_encoder_matches_torch_resnet18(tmp_path):
     torch.manual_seed(0)
     tmodel = _ResNet18().eval()

@@ -22,7 +22,11 @@ proto_bwd_convs.py):
 Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/proto_co1_tapmajor.py
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
