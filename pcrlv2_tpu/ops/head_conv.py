@@ -42,8 +42,12 @@ Two layouts for the intermediate (selected by ``PCRL_HEADCONV``):
 * a trailing ``x`` (``tapAx``/``tapDx``/``tapPx``) keeps the tap-major
   forward but XLA's own conv backward.
 
-Default is ``xla`` (the padded dense conv) until the hardware measurement
-says otherwise; flip with ``PCRL_HEADCONV=<variant>``.
+Default is ``xla`` (the padded dense conv) — the round-3 hardware A/B
+measured tapA/tapD 2.1× faster *standalone* but 2-8 % slower inside the
+fused train step (XLA overlaps the dense head with neighboring HBM-bound
+ops; see BENCHMARKS.md), and tapP/tapPx fail Mosaic scoped-VMEM allocation
+at the production batch.  The family stays as env-var opt-ins:
+``PCRL_HEADCONV=<variant>``.
 
 Numerics: the channel contraction accumulates in f32 on the MXU exactly like
 the dense conv; the only difference is one extra rounding of the per-tap
