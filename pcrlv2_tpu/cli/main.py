@@ -87,14 +87,27 @@ def build_parser() -> argparse.ArgumentParser:
                              "reference builds an eval loader it never uses)")
     parser.add_argument("--eval_batches", default=0, type=int,
                         help="cap batches per eval pass (0 = the full fold)")
-    parser.add_argument("--chest_canvas", default=512, type=int,
-                        help="host-side decode canvas for chest X-rays; set "
-                             "to the native size (1024 for NIH) for ZERO "
+    parser.add_argument("--chest_canvas", default=0, type=int,
+                        help="host-side decode canvas for chest X-rays. "
+                             "0 (default) = auto-detect the native size from "
+                             "the first image (1024 for NIH) — ZERO "
                              "resolution loss vs the reference's "
                              "native-resolution CPU crops "
-                             "(chestDataset.py:31-48) at 4x the H2D bytes; "
-                             "512 (default) halves source resolution before "
-                             "cropping — measured deviation in BENCHMARKS.md")
+                             "(chestDataset.py:31-48). Set 512 for the fast "
+                             "mode: 1/4 the H2D bytes but halves source "
+                             "resolution before cropping — measured "
+                             "deviation in BENCHMARKS.md")
+    parser.add_argument("--chest_cache", default="auto",
+                        help="decode-once uint8 cache dir for chest X-rays "
+                             "('auto' = <output>/chest_cache, 'off' = decode "
+                             "every epoch like the reference). First epoch "
+                             "decodes+caches; later epochs read raw arrays "
+                             "at memcpy speed — single-core PIL decode "
+                             "cannot feed the TPU otherwise (BENCHMARKS.md "
+                             "'Input pipeline at rate')")
+    parser.add_argument("--log_every", default=10, type=int,
+                        help="iterations between metric syncs/log lines "
+                             "(the reference prints every 10, train_3d.py:153)")
     parser.add_argument("--profile_dir", default=None,
                         help="write a jax.profiler trace here")
     parser.add_argument("--synthetic", action="store_true", default=False,
@@ -222,8 +235,29 @@ class DataGenerator:
         names = names[: int(len(names) * args.ratio)]
         print(f"total train images {len(names)}")
         args, (names,) = _shard_for_process(args, names)
-        canvas = getattr(args, "chest_canvas", 512)
-        read = partial(load_chest_sample, canvas=canvas)
+        canvas = getattr(args, "chest_canvas", 0)
+        if canvas <= 0:
+            # native-resolution default: decode on the first image's canvas
+            # so the on-device crops see the reference's full source
+            # resolution (chestDataset.py:31-48 crops native-res CPU arrays)
+            from PIL import Image
+
+            with Image.open(names[0]) as im:
+                canvas = max(im.size)
+            print(f"==> chest canvas auto-detected from {names[0]}: "
+                  f"{canvas} (native; pass --chest_canvas 512 for the "
+                  f"reduced-resolution fast mode)")
+        cache = getattr(args, "chest_cache", "auto")
+        if cache and cache != "off":
+            from pcrlv2_tpu.data.pipeline import CachedChestReader
+
+            if cache == "auto":
+                cache = os.path.join(args.output, "chest_cache")
+            read = CachedChestReader(cache, canvas)
+            print(f"==> chest decode cache: {cache} (canvas {canvas}; "
+                  f"--chest_cache off to disable)")
+        else:
+            read = partial(load_chest_sample, canvas=canvas)
         train = HostLoader(names, args.b, read,
                            shuffle=True, seed=args.seed,
                            num_workers=args.workers)
@@ -256,9 +290,11 @@ def _synthetic_loader(args, dim: int):
                 if dim == 3:
                     yield synthetic_luna_batch(args.b, seed=seed)
                 else:
-                    yield synthetic_chest_batch(
-                        args.b, canvas=getattr(args, "chest_canvas", 512),
-                        seed=seed)
+                    # synthetic data has no native size; 0/auto means the
+                    # NIH-native 1024 canvas the real default would detect
+                    canvas = getattr(args, "chest_canvas", 0) or 1024
+                    yield synthetic_chest_batch(args.b, canvas=canvas,
+                                                seed=seed)
 
     return {"train": _Loader(), "eval": None}
 
@@ -345,7 +381,7 @@ def main(argv=None) -> None:
         mixup=args.mixup, resume=args.resume, spatial=args.spatial,
         orbax_dir=os.path.join(os.path.abspath(args.output), "orbax"),
         profile_dir=args.profile_dir, eval_every=args.eval_every,
-        eval_batches=args.eval_batches,
+        eval_batches=args.eval_batches, log_every=args.log_every,
     )
 
     policy = DEFAULT_POLICY if args.amp else PARITY_POLICY

@@ -396,10 +396,12 @@ def make_chest_aug_fn(n_local: int = 6, global_size: int = 224,
                       local_size: int = 96):
     """Build the batch aug fn for the 2D pipeline.
 
-    Input batch: ``{'image': (B, canvas, canvas, 3) float in [0,1]}`` —
-    decoded images resized to a fixed square canvas host-side.  Output views
-    match ``chestDataset.py:48``: x1/x2/gt/gt2 (B, 224, 224, 3) and locals
-    (B, 6, 96, 96, 3), ImageNet-normalized.
+    Input batch: ``{'image': (B, canvas, canvas, C)}`` — decoded images on a
+    fixed square canvas host-side.  Accepts float in [0,1] (legacy) or uint8
+    (production: 4x fewer H2D bytes), C=3 (RGB) or C=1 (grayscale sources,
+    e.g. NIH — replicated to 3 on device: another 3x fewer H2D bytes).
+    Output views match ``chestDataset.py:48``: x1/x2/gt/gt2
+    (B, 224, 224, 3) and locals (B, 6, 96, 96, 3), ImageNet-normalized.
 
     **Deviation:** the reference crops at native resolution on CPU workers;
     the fixed square canvas aspect-distorts non-square X-rays (NIH images
@@ -408,7 +410,15 @@ def make_chest_aug_fn(n_local: int = 6, global_size: int = 224,
     """
 
     def aug_fn(key, batch):
-        imgs = batch["image"].astype(jnp.float32)
+        imgs = batch["image"]
+        if imgs.dtype == jnp.uint8:
+            # divide (not *1/255): bit-parity with the legacy host-side
+            # np.float32(arr)/255.0 path
+            imgs = imgs.astype(jnp.float32) / 255.0
+        else:
+            imgs = imgs.astype(jnp.float32)
+        if imgs.shape[-1] == 1:  # grayscale source → RGB on device
+            imgs = jnp.broadcast_to(imgs, imgs.shape[:-1] + (3,))
         b, h0, w0 = imgs.shape[:3]
         hw = jnp.broadcast_to(jnp.array([h0, w0], jnp.float32), (b, 2))
         keys = jax.random.split(key, b)

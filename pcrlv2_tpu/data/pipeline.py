@@ -41,18 +41,75 @@ def load_luna_sample(global_path: str) -> dict:
 
 
 def load_chest_sample(image_path: str, canvas: int = 512) -> dict:
-    """Decode a chest X-ray to RGB float [0,1] on a fixed square canvas.
+    """Decode a chest X-ray onto a fixed square canvas, uint8.
 
     The reference decodes with PIL and augments at native resolution on CPU
     workers (``chestDataset.py:33``); we resize host-side to a fixed canvas so
     the random crops are cut on device from one static-shape transfer.
+
+    Host/transfer cost is minimized: pixels stay uint8 (the [0,1] float
+    normalize runs on device, ``make_chest_aug_fn``), grayscale sources keep
+    ONE channel (replicated to RGB on device), and the resize is skipped when
+    the image is already on the canvas — at the native-1024 default this is
+    12x fewer H2D bytes than the float32-RGB form.  Numerics are unchanged:
+    uint8/255 and channel replication commute with every aug op.
     """
     from PIL import Image
 
     with Image.open(image_path) as im:
-        im = im.convert("RGB").resize((canvas, canvas), Image.BILINEAR)
-        arr = np.asarray(im, np.float32) / 255.0
+        gray = im.mode in ("1", "L", "LA", "I", "I;16", "F")
+        im = im.convert("L") if gray else im.convert("RGB")
+        if im.size != (canvas, canvas):
+            im = im.resize((canvas, canvas), Image.BILINEAR)
+        arr = np.asarray(im, np.uint8)
+    if arr.ndim == 2:
+        arr = arr[..., None]
     return {"image": arr}
+
+
+class CachedChestReader:
+    """Decode-once PNG cache: the first epoch decodes + canvas-resizes each
+    X-ray and writes the raw uint8 array as ``<cache>/<name>.c<canvas>.npy``;
+    every later epoch is a straight np.load (page-cache memcpy, ~50-100x a
+    PNG decode on this class of host).
+
+    Rationale: the reference re-decodes every PNG every epoch in DataLoader
+    workers (``chestDataset.py:33``) — at 240 pretraining epochs that is 239
+    redundant decodes per image.  PIL decode of a 1024² PNG is ~20-50 ms of
+    single-core CPU, which cannot feed a TPU consuming hundreds of imgs/s;
+    the raw-uint8 cache is the same offline-materialization move the
+    reference itself makes for LUNA (``luna_preprocess.py``).  Cache size:
+    canvas² bytes/image (1 MB at 1024) — comparable to the PNGs themselves.
+
+    Concurrency-safe: writes are atomic (tmp + rename), so multi-process
+    trainers sharing a cache dir at worst decode an image twice.
+    """
+
+    def __init__(self, cache_dir: str, canvas: int):
+        self.cache_dir = cache_dir
+        self.canvas = canvas
+        os.makedirs(cache_dir, exist_ok=True)
+
+    def _cache_path(self, image_path: str) -> str:
+        base = os.path.splitext(os.path.basename(image_path))[0]
+        return os.path.join(self.cache_dir, f"{base}.c{self.canvas}.npy")
+
+    def __call__(self, image_path: str) -> dict:
+        cpath = self._cache_path(image_path)
+        try:
+            return {"image": np.load(cpath)}
+        except (FileNotFoundError, ValueError, EOFError):
+            pass  # miss, or a torn write from a crashed run — re-decode
+        sample = load_chest_sample(image_path, canvas=self.canvas)
+        tmp = f"{cpath}.tmp.{os.getpid()}"
+        try:
+            with open(tmp, "wb") as f:  # file handle: np.save(str) would
+                np.save(f, sample["image"])  # append a second .npy suffix
+            os.replace(tmp, cpath)
+        except OSError:  # read-only / full cache dir: degrade to decoding
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+        return sample
 
 
 class LunaBatchReader:

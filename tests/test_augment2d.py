@@ -89,3 +89,22 @@ def test_full_chest_aug_shapes():
     assert views["locals"].shape == (2, 6, 96, 96, 3)
     for v in jax.tree.leaves(views):
         assert np.isfinite(np.asarray(v)).all()
+
+
+def test_chest_aug_uint8_gray_matches_float_rgb():
+    """The production host format (uint8, single channel for grayscale
+    sources — 12x fewer H2D bytes) matches the legacy float32-RGB form to
+    one ulp: uint8/255 and channel replication happen on device before any
+    aug op (XLA may canonicalize the /255 to a reciprocal-multiply, hence
+    allclose rather than array_equal)."""
+    rng = np.random.RandomState(3)
+    u8 = rng.randint(0, 256, (2, 160, 160, 1), np.uint8)
+    f32 = np.broadcast_to(u8, (2, 160, 160, 3)).astype(np.float32) / 255.0
+
+    aug = jax.jit(A.make_chest_aug_fn())
+    k = jax.random.key(7)
+    v_u8 = aug(k, {"image": jnp.asarray(u8)})
+    v_f32 = aug(k, {"image": jnp.asarray(f32)})
+    for a, b in zip(jax.tree.leaves(v_u8), jax.tree.leaves(v_f32)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=3e-6)

@@ -89,7 +89,11 @@ def test_synthetic_loader_shapes():
     assert batches[0]["pair"].shape == (2, 2, 64, 64, 32)
     args2 = build_parser().parse_args(["--b", "2", "--steps_per_epoch", "1"])
     b2 = next(_synthetic_loader(args2, dim=2)["train"].epoch(0))
-    assert b2["image"].shape == (2, 512, 512, 3)
+    assert b2["image"].shape == (2, 1024, 1024, 3)  # 0/auto → NIH-native
+    args3 = build_parser().parse_args(["--b", "2", "--steps_per_epoch", "1",
+                                       "--chest_canvas", "512"])
+    b3 = next(_synthetic_loader(args3, dim=2)["train"].epoch(0))
+    assert b3["image"].shape == (2, 512, 512, 3)
 
 
 def _fake_luna_tree(root: str, n_subsets=1):
@@ -183,17 +187,75 @@ def test_chest_loader_canvas_plumbing(tmp_path):
     args = build_parser().parse_args([
         "--n", "chest", "--d", "2", "--data", str(img_dir),
         "--train_list", str(lst), "--b", "2", "--ratio", "1.0",
-        "--chest_canvas", "160", "--workers", "1",
+        "--chest_canvas", "160", "--workers", "1", "--chest_cache", "off",
     ])
     loaders = DataGenerator(args).build("pcrlv2_chest_pretask")
     batch = next(loaders["train"].epoch(0))
-    assert batch["image"].shape == (2, 160, 160, 3)
-    assert batch["image"].dtype == np.float32
+    # grayscale PNGs stay single-channel uint8 on host (normalize +
+    # RGB-replication run on device, make_chest_aug_fn)
+    assert batch["image"].shape == (2, 160, 160, 1)
+    assert batch["image"].dtype == np.uint8
     # eval loader: fixed order (unshuffled) so the eval metric tracks the
     # same samples every epoch
     e1 = next(loaders["eval"].epoch(0))
     e2 = next(loaders["eval"].epoch(1))
     np.testing.assert_array_equal(e1["image"], e2["image"])
+
+
+def test_chest_canvas_auto_detects_native_size(tmp_path):
+    """Default --chest_canvas (0) decodes on the first image's native canvas
+    — zero resolution loss vs the reference's native-res CPU crops
+    (chestDataset.py:31-48); 512 stays available as the fast mode."""
+    from PIL import Image
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        Image.fromarray(
+            rng.randint(0, 255, (96, 80), np.uint8), "L").save(
+                img_dir / f"x{i}.png")
+    lst = tmp_path / "chest_train.txt"
+    lst.write_text("".join(f"x{i}.png" + " 0" * 14 + "\n" for i in range(2)))
+
+    args = build_parser().parse_args([
+        "--n", "chest", "--d", "2", "--data", str(img_dir),
+        "--train_list", str(lst), "--b", "2", "--ratio", "1.0",
+        "--workers", "1", "--chest_cache", "off",
+    ])
+    assert args.chest_canvas == 0  # auto is the default
+    loaders = DataGenerator(args).build("pcrlv2_chest_pretask")
+    batch = next(loaders["train"].epoch(0))
+    # native canvas = max(width=80, height=96) = 96; grayscale → 1 channel
+    assert batch["image"].shape == (2, 96, 96, 1)
+
+
+def test_chest_decode_cache_round_trip(tmp_path):
+    """CachedChestReader: first call decodes + writes the raw uint8 array,
+    second call loads it byte-identically; a torn cache file re-decodes."""
+    from PIL import Image
+
+    from pcrlv2_tpu.data.pipeline import (CachedChestReader,
+                                          load_chest_sample)
+
+    p = tmp_path / "a.png"
+    rng = np.random.RandomState(1)
+    Image.fromarray(rng.randint(0, 255, (70, 50), np.uint8), "L").save(p)
+
+    cache = tmp_path / "cache"
+    reader = CachedChestReader(str(cache), canvas=64)
+    first = reader(str(p))["image"]
+    direct = load_chest_sample(str(p), canvas=64)["image"]
+    np.testing.assert_array_equal(first, direct)
+    cpath = cache / "a.c64.npy"
+    assert cpath.exists()
+    second = reader(str(p))["image"]
+    np.testing.assert_array_equal(second, first)
+    # torn write from a crashed run: unreadable cache entry self-heals
+    cpath.write_bytes(b"\x93NUMPY junk")
+    healed = reader(str(p))["image"]
+    np.testing.assert_array_equal(healed, direct)
+    assert np.load(cpath).shape == first.shape  # rewritten
 
 
 def test_luna_preprocess_multiprocess(tmp_path):
