@@ -349,6 +349,18 @@ def run_training(model, cfg: TrainConfig, loader, aug_fn, dim: int,
             raise ValueError("--encoder_weights applies to the 2D pipeline")
         trainer.load_encoder_weights(encoder_weights)
         print(f"==> encoder initialized from {encoder_weights}")
+    elif dim == 2 and cfg.phase == "pretask" and not cfg.resume:
+        # the reference's smp encoder defaults to ImageNet weights
+        # (reference models/pcrlv2_model.py:200, smp encoder_weights=
+        # 'imagenet'); without --encoder_weights this run pretrains the 2D
+        # encoder FROM SCRATCH — a different init than the reference's
+        # out-of-box behavior. Make that deviation impossible to miss.
+        print("WARNING: 2D encoder initialized FROM SCRATCH — the reference "
+              "starts from ImageNet weights. For reference-equivalent init:\n"
+              "  python -c \"import torch,torchvision; torch.save("
+              "torchvision.models.resnet18(weights='IMAGENET1K_V1')"
+              ".state_dict(), 'resnet18.pt')\"   # on any online machine\n"
+              "  then pass --encoder_weights resnet18.pt")
     start_epoch = 0
     if cfg.resume:
         # continue AFTER the saved epoch: LR/β schedules, the PRNG stream
