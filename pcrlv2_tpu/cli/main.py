@@ -87,6 +87,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "reference builds an eval loader it never uses)")
     parser.add_argument("--eval_batches", default=0, type=int,
                         help="cap batches per eval pass (0 = the full fold)")
+    parser.add_argument("--save_every", default=0, type=int,
+                        help="also checkpoint every N epochs (0 = only the "
+                             "reference cadence, epoch%%100==0 or 240, "
+                             "train_3d.py:71-80) — finer cadence makes "
+                             "kill+--resume lose at most N epochs")
     parser.add_argument("--chest_canvas", default=0, type=int,
                         help="host-side decode canvas for chest X-rays. "
                              "0 (default) = auto-detect the native size from "
@@ -105,6 +110,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "at memcpy speed — single-core PIL decode "
                              "cannot feed the TPU otherwise (BENCHMARKS.md "
                              "'Input pipeline at rate')")
+    parser.add_argument("--h2d_dtype", default="auto",
+                        choices=("auto", "f32", "f16"),
+                        help="host->device dtype for raw 3D batches. f16 "
+                             "halves transfer bytes (36.7->18.4 MB at b=32); "
+                             "quantization is <=2^-11 relative on the "
+                             "[0,1]-normalized crops, below the bf16 compute "
+                             "policy's own rounding. auto = f16 when --amp, "
+                             "f32 otherwise (exact-parity mode)")
     parser.add_argument("--log_every", default=10, type=int,
                         help="iterations between metric syncs/log lines "
                              "(the reference prints every 10, train_3d.py:153)")
@@ -207,15 +220,28 @@ class DataGenerator:
             test_fold=range(7, 10), suffix="_global_", file_list=uids)
         print(f"total train images {len(x_train)}, validation images {len(x_valid)}")
         args, (x_train, x_valid) = _shard_for_process(args, x_train, x_valid)
+        from functools import partial
+
+        import numpy as np
+
         from pcrlv2_tpu import native
         from pcrlv2_tpu.data.pipeline import LunaBatchReader
 
-        batch_read = (LunaBatchReader(args.b, n_threads=max(args.workers, 2))
+        h2d = getattr(args, "h2d_dtype", "auto")
+        if h2d == "auto":
+            h2d = "f16" if args.amp else "f32"
+        dtype = np.float16 if h2d == "f16" else np.float32
+        if dtype == np.float16:
+            print("==> h2d_dtype f16: raw batches transfer at half width "
+                  "(--h2d_dtype f32 for the exact-parity path)")
+        read_fn = partial(load_luna_sample, dtype=dtype)
+        batch_read = (LunaBatchReader(args.b, n_threads=max(args.workers, 2),
+                                      dtype=dtype)
                       if native.available() else None)
-        train = HostLoader(x_train, args.b, load_luna_sample,
+        train = HostLoader(x_train, args.b, read_fn,
                            shuffle=True, seed=args.seed,
                            num_workers=args.workers, batch_read_fn=batch_read)
-        evaluate = (HostLoader(x_valid, args.b, load_luna_sample,
+        evaluate = (HostLoader(x_valid, args.b, read_fn,
                                shuffle=False, seed=args.seed,
                                num_workers=args.workers)
                     if x_valid else None)
@@ -382,6 +408,7 @@ def main(argv=None) -> None:
         orbax_dir=os.path.join(os.path.abspath(args.output), "orbax"),
         profile_dir=args.profile_dir, eval_every=args.eval_every,
         eval_batches=args.eval_batches, log_every=args.log_every,
+        save_every=args.save_every,
     )
 
     policy = DEFAULT_POLICY if args.amp else PARITY_POLICY

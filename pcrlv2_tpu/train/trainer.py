@@ -54,6 +54,7 @@ class TrainConfig:
     orbax_dir: Optional[str] = None
     profile_dir: Optional[str] = None  # jax.profiler trace output (opt-in)
     eval_every: int = 0  # epochs between eval passes; 0 disables
+    save_every: int = 0  # extra ckpt cadence; 0 = reference cadence only
     eval_batches: int = 0  # cap batches per eval pass; 0 = the full fold
     spatial: int = 1  # >1: depth-shard the global views over `spatial` chips
 
@@ -274,16 +275,20 @@ class Trainer:
                   ("batch_time", "data_time", "cos_loss", "mg_loss",
                    "local_loss", "loss")}
         end = time.time()
+        win_start = end  # wall-clock start of the current log window
         metrics = None
         sentinel = object()
         it = iter(batch_iter)
         raw = next(it, sentinel)
         views = None  # pipelined mode: aug(raw) from the previous program
         idx = -1
+        time_loop = os.environ.get("PCRL_TIME_LOOP")  # per-phase loop timing
         while raw is not sentinel:
             idx += 1
             meters["data_time"].update(time.time() - end)
+            t0 = time.time()
             raw_next = next(it, sentinel)
+            t_next = time.time()
             key = step_key(cfg.seed, self._global_step)
             bsz = int(jax.tree.leaves(raw)[0].shape[0])
             if self._pipe_fn is not None:
@@ -296,6 +301,9 @@ class Trainer:
                     self.state, views, feed, key,
                     step_key(cfg.seed, self._global_step + 1, 1),
                     jnp.float32(lr), jnp.int32(epoch))
+                if time_loop:
+                    print(f"[loop] iter {idx} next(it) {t_next-t0:.3f}s "
+                          f"dispatch {time.time()-t_next:.3f}s", flush=True)
             else:
                 batch = raw
                 if self._aug_fn is not None:
@@ -313,8 +321,13 @@ class Trainer:
                 metrics = jax.device_get(metrics)
                 for k in ("cos_loss", "mg_loss", "local_loss", "loss"):
                     meters[k].update(float(metrics[k]), bsz)
+                # BT = TRUE wall time per step over the window — data wait,
+                # H2D, dispatch, device execution, and this sync all included
+                # (dispatch is async; the device_get above drains the queue)
+                now = time.time()
                 meters["batch_time"].update(
-                    (time.time() - end) / cfg.log_every)
+                    (now - win_start) / cfg.log_every, cfg.log_every)
+                win_start = now
                 self.logger.log({
                     "epoch": epoch, "iter": idx + 1, "lr": lr,
                     "BT": meters["batch_time"].avg,
@@ -393,8 +406,11 @@ def run_training(model, cfg: TrainConfig, loader, aug_fn, dim: int,
                 ev = trainer.evaluate(eval_loader.epoch(epoch))
                 trainer.logger.log({"epoch": epoch, "eval": ev})
                 print(f"eval: {ev}")
-            if epoch % 100 == 0 or epoch == 240:
+            on_ref_cadence = epoch % 100 == 0 or epoch == 240
+            if on_ref_cadence or (cfg.save_every
+                                  and epoch % cfg.save_every == 0):
                 print("==> Saving...")
-                trainer.save_reference_ckpt(epoch)
+                if on_ref_cadence:  # .pt artifacts only at reference epochs
+                    trainer.save_reference_ckpt(epoch)
                 trainer.save_orbax(epoch)
     return trainer

@@ -101,3 +101,37 @@ def test_evaluate_2d_uses_aug_views(tmp_path):
     s2 = trainer.evaluate(iter(batches))
     assert np.isfinite(s1["loss"])
     assert s1 == s2
+
+
+def test_save_every_extra_ckpt_cadence(tmp_path):
+    """--save_every N adds Orbax checkpoints every N epochs on top of the
+    reference cadence (epoch%100==0 or 240, reference train_3d.py:71-80);
+    .pt artifacts still only land on reference epochs."""
+    import os
+
+    from pcrlv2_tpu.train.trainer import run_training
+
+    cfg = TrainConfig(b=2, output=str(tmp_path), seed=0, epochs=5,
+                      save_every=2, orbax_dir=str(tmp_path / "orbax"))
+    model = PCRLv23d()
+    sample = jnp.zeros((2, 16, 16, 8, 1), jnp.float32)
+
+    rng = np.random.RandomState(0)
+    views = {
+        "x1": rng.rand(2, 16, 16, 8, 1).astype(np.float32),
+        "x2": rng.rand(2, 16, 16, 8, 1).astype(np.float32),
+        "gt": rng.rand(2, 16, 16, 8, 1).astype(np.float32),
+        "gt2": rng.rand(2, 16, 16, 8, 1).astype(np.float32),
+        "locals": rng.rand(2, 6, 8, 8, 8, 1).astype(np.float32),
+    }
+
+    class Loader:
+        def epoch(self, e):
+            return iter([views])
+
+    run_training(model, cfg, Loader(), aug_fn=None, dim=3,
+                 sample_batch=sample, epochs=3)
+    steps = {int(d) for d in os.listdir(tmp_path / "orbax") if d.isdigit()}
+    assert steps == {0, 2}  # epoch 0 (reference cadence) + epoch 2 (N=2)
+    pts = [f for f in os.listdir(tmp_path) if f.endswith(".pt")]
+    assert [f for f in pts if "_0.pt" in f] and len(pts) == 1

@@ -126,3 +126,57 @@ def test_load_volume_1mm_native_equals_fallback(tmp_path, monkeypatch):
     monkeypatch.setattr(native, "resample_to_xyz", lambda *a, **k: None)
     ref = mhd.load_volume_1mm(str(tmp_path / "case.mhd"))
     np.testing.assert_allclose(got, ref, atol=2e-3)
+
+
+def test_f16_h2d_path(tmp_path):
+    """--h2d_dtype f16: readers emit float16 at <=2^-11 relative error, and
+    the device aug (which promotes to f32 at entry) stays within the same
+    bound of the f32 path."""
+    from functools import partial
+
+    import jax
+
+    from pcrlv2_tpu.data.augment3d import make_luna_aug_fn
+    from pcrlv2_tpu.data.pipeline import (HostLoader, LunaBatchReader,
+                                          load_luna_sample)
+
+    rng = np.random.RandomState(7)
+    paths = []
+    for i in range(4):
+        g = str(tmp_path / f"1.2.3_global_{i}.npy")
+        np.save(g, rng.rand(2, 16, 16, 8).astype(np.float32))
+        np.save(str(tmp_path / f"1.2.3_local_{i}.npy"),
+                rng.rand(6, 8, 8, 8).astype(np.float32))
+        paths.append(g)
+
+    loaders = {"plain": HostLoader(
+        paths, 4, partial(load_luna_sample, dtype=np.float16),
+        shuffle=False, seed=0)}
+    if native.available():
+        loaders["native"] = HostLoader(
+            paths, 4, load_luna_sample, shuffle=False, seed=0,
+            batch_read_fn=LunaBatchReader(4, pair_shape=(2, 16, 16, 8),
+                                          local_shape=(6, 8, 8, 8),
+                                          n_threads=2, dtype=np.float16))
+    f32 = next(iter(HostLoader(paths, 4, load_luna_sample,
+                               shuffle=False, seed=0).epoch(0)))
+    for name, loader in loaders.items():
+        b16 = next(iter(loader.epoch(0)))
+        assert b16["pair"].dtype == np.float16, name
+        assert b16["locals"].dtype == np.float16, name
+        np.testing.assert_allclose(b16["pair"].astype(np.float32),
+                                   f32["pair"], rtol=2 ** -11, atol=2 ** -12)
+
+    aug = jax.jit(make_luna_aug_fn())
+    key = jax.random.key(0)
+    v32 = aug(key, f32)
+    v16 = aug(key, next(iter(loaders["plain"].epoch(0))))
+    for k in v32:
+        assert v16[k].dtype == v32[k].dtype  # promoted to f32 on device
+        a, b = np.asarray(v32[k]), np.asarray(v16[k])
+        # Z-norm/gamma amplify the 2^-11 input quantization; bound it
+        # relative to the tensor's own scale (measured worst case ~1.3% on
+        # the Z-normalized views — a couple of bf16 roundings' worth)
+        scale = max(np.abs(a).max(), 1.0)
+        assert np.abs(a - b).max() <= 0.02 * scale, k
+        assert np.percentile(np.abs(a - b), 99) <= 0.006 * scale, k
