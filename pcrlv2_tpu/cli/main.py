@@ -208,12 +208,20 @@ class DataGenerator:
             # the manifest is a dataset-release artifact; a fresh
             # preprocessed tree carries the same information, so derive the
             # UID list from it (and persist for reproducibility) rather than
-            # dying on the missing default path
+            # dying on the missing default path.  When the user never chose
+            # a path (parser default), persist into the run's output dir —
+            # not the source checkout's train_val_txt/
             from pcrlv2_tpu.data.make_manifests import write_luna_manifest
 
-            uids_all = write_luna_manifest(args.data, args.train_list)
-            print(f"==> {args.train_list} not found; derived "
-                  f"{len(uids_all)} UIDs from {args.data}")
+            if args.train_list == "train_val_txt/luna_train.txt":
+                args.train_list = os.path.join(args.output, "luna_train.txt")
+            if os.path.exists(args.train_list):
+                uids_all = None
+            else:
+                uids_all = write_luna_manifest(args.data, args.train_list)
+                print(f"==> train list not found; derived "
+                      f"{len(uids_all)} UIDs from {args.data} into "
+                      f"{args.train_list}")
         uids = get_luna_pretrain_list(args.ratio, args.train_list)
         x_train, x_valid, _ = get_luna_list(
             args.data, train_fold=range(7), valid_fold=range(7, 10),

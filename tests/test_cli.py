@@ -79,6 +79,33 @@ def test_luna_pretask_derives_missing_manifest(tmp_path, capsys):
     assert batch["pair"].shape == (4, 2, 64, 64, 32)
 
 
+def test_luna_pretask_default_manifest_derives_into_output(tmp_path, capsys):
+    """With the parser-default --train_list absent, the derived manifest
+    lands in the run's --output dir — never in the source checkout's
+    train_val_txt/."""
+    import os
+
+    from pcrlv2_tpu.data.pipeline import write_synthetic_luna_tree
+
+    write_synthetic_luna_tree(str(tmp_path / "d"), n_subsets=8,
+                              uids_per_subset=2, pairs_per_uid=2)
+    out = tmp_path / "run"
+    out.mkdir()
+    args = build_parser().parse_args([
+        "--data", str(tmp_path / "d"), "--b", "4", "--ratio", "1.0",
+        "--output", str(out), "--workers", "2",
+    ])
+    cwd = os.getcwd()
+    os.chdir(tmp_path)  # a stray default would land under tmp_path, not repo
+    try:
+        DataGenerator(args).build("pcrlv2_luna_pretask")
+    finally:
+        os.chdir(cwd)
+    assert (out / "luna_train.txt").exists()
+    assert not (tmp_path / "train_val_txt").exists()
+    assert "derived" in capsys.readouterr().out
+
+
 def test_synthetic_loader_shapes():
     from pcrlv2_tpu.cli.main import _synthetic_loader
 
