@@ -101,7 +101,8 @@ def main():
 
     from pcrlv2_tpu.train.step import make_pipelined_train_step
 
-    model = PCRLv23d(upsample_masks=os.environ.get("BENCH_LAZY_MASKS", "0") != "1")
+    model = PCRLv23d(upsample_masks=os.environ.get("BENCH_LAZY_MASKS", "0") != "1",
+                     remat=os.environ.get("BENCH_REMAT", "0") == "1")
     tx = sgd()
     sample = jnp.zeros((BATCH, 64, 64, 32, 1), jnp.float32)
     state = create_train_state(model, tx, key_fn(0), sample)
