@@ -268,19 +268,28 @@ class DataGenerator:
         names, _labels = get_chest_list(txt, args.data)
         names = names[: int(len(names) * args.ratio)]
         print(f"total train images {len(names)}")
-        args, (names,) = _shard_for_process(args, names)
         canvas = getattr(args, "chest_canvas", 0)
         if canvas <= 0:
-            # native-resolution default: decode on the first image's canvas
-            # so the on-device crops see the reference's full source
-            # resolution (chestDataset.py:31-48 crops native-res CPU arrays)
+            # native-resolution default: decode on the sources' canvas so the
+            # on-device crops see the reference's full source resolution
+            # (chestDataset.py:31-48 crops native-res CPU arrays).  Detect
+            # from the UNSHARDED list (every multi-host process must agree on
+            # the batch shape or global-array assembly breaks) over a fixed
+            # sample of images: heterogeneous sizes take the max so nothing
+            # is downsampled
             from PIL import Image
 
-            with Image.open(names[0]) as im:
-                canvas = max(im.size)
-            print(f"==> chest canvas auto-detected from {names[0]}: "
-                  f"{canvas} (native; pass --chest_canvas 512 for the "
-                  f"reduced-resolution fast mode)")
+            sizes = set()
+            for name in names[:8]:
+                with Image.open(name) as im:  # header read only — cheap
+                    sizes.add(max(im.size))
+            canvas = max(sizes)
+            note = (f" (sources disagree: {sorted(sizes)} — using the max)"
+                    if len(sizes) > 1 else "")
+            print(f"==> chest canvas auto-detected from {len(sizes)} source "
+                  f"size(s): {canvas}{note} (native; pass --chest_canvas 512 "
+                  f"for the reduced-resolution fast mode)")
+        args, (names,) = _shard_for_process(args, names)
         cache = getattr(args, "chest_cache", "auto")
         if cache and cache != "off":
             from pcrlv2_tpu.data.pipeline import CachedChestReader

@@ -55,8 +55,13 @@ def write_luna_manifest(data_dir: str, out_path: str) -> List[str]:
         raise SystemExit(f"no LUNA series found under {data_dir} "
                          "(expected subset{0..9}/*.mhd or *_global_*.npy)")
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    with open(out_path, "w") as f:
+    # atomic publish: concurrent multi-process launches all derive the same
+    # list; tmp+rename means a reader can never see a torn/partial manifest
+    # (and silently train on a subset of UIDs)
+    tmp = f"{out_path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
         f.write("\n".join(uids) + "\n")
+    os.replace(tmp, out_path)
     return uids
 
 

@@ -53,23 +53,27 @@ def load_chest_sample(image_path: str, canvas: int = 512) -> dict:
     the random crops are cut on device from one static-shape transfer.
 
     Host/transfer cost is minimized: pixels stay uint8 (the [0,1] float
-    normalize runs on device, ``make_chest_aug_fn``), grayscale sources keep
-    ONE channel (replicated to RGB on device), and the resize is skipped when
-    the image is already on the canvas — at the native-1024 default this is
-    12x fewer H2D bytes than the float32-RGB form.  Numerics are unchanged:
-    uint8/255 and channel replication commute with every aug op.
+    normalize runs on device, ``make_chest_aug_fn``), every source collapses
+    to ONE channel (replicated to RGB on device), and the resize is skipped
+    when the image is already on the canvas — at the native-1024 default this
+    is 12x fewer H2D bytes than the float32-RGB form.
+
+    ALL modes convert to 'L', including RGB/RGBA/P containers: chest X-rays
+    are single-channel content whatever the container (NIH ChestX-ray14 mixes
+    L and RGBA PNGs), and a uniform (H, W, 1) output is load-bearing — a
+    dataset mixing 1- and 3-channel samples would crash np.stack mid-epoch
+    in HostLoader (and the decode cache would persist the mix).  For true
+    gray content, L-from-RGB is numerically the content itself; uint8/255
+    and channel replication commute with every aug op.
     """
     from PIL import Image
 
     with Image.open(image_path) as im:
-        gray = im.mode in ("1", "L", "LA", "I", "I;16", "F")
-        im = im.convert("L") if gray else im.convert("RGB")
+        im = im.convert("L")
         if im.size != (canvas, canvas):
             im = im.resize((canvas, canvas), Image.BILINEAR)
         arr = np.asarray(im, np.uint8)
-    if arr.ndim == 2:
-        arr = arr[..., None]
-    return {"image": arr}
+    return {"image": arr[..., None]}
 
 
 class CachedChestReader:
@@ -96,13 +100,26 @@ class CachedChestReader:
         os.makedirs(cache_dir, exist_ok=True)
 
     def _cache_path(self, image_path: str) -> str:
+        # basename + a short hash of the FULL source path: chest lists may
+        # carry relative subdir paths, and two `img.png`s in different
+        # subdirs keyed by basename alone would collide — the second would
+        # silently train on the first's pixels
+        import hashlib
+
         base = os.path.splitext(os.path.basename(image_path))[0]
-        return os.path.join(self.cache_dir, f"{base}.c{self.canvas}.npy")
+        tag = hashlib.blake2s(os.path.abspath(image_path).encode(),
+                              digest_size=4).hexdigest()
+        return os.path.join(self.cache_dir,
+                            f"{base}.{tag}.c{self.canvas}.npy")
 
     def __call__(self, image_path: str) -> dict:
         cpath = self._cache_path(image_path)
         try:
-            return {"image": np.load(cpath)}
+            arr = np.load(cpath)
+            if arr.shape == (self.canvas, self.canvas, 1):
+                return {"image": arr}
+            # stale entry from an older cache layout (e.g. 3-channel) —
+            # fall through and re-decode so one epoch never mixes shapes
         except (FileNotFoundError, ValueError, EOFError):
             pass  # miss, or a torn write from a crashed run — re-decode
         sample = load_chest_sample(image_path, canvas=self.canvas)

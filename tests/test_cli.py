@@ -274,7 +274,8 @@ def test_chest_decode_cache_round_trip(tmp_path):
     first = reader(str(p))["image"]
     direct = load_chest_sample(str(p), canvas=64)["image"]
     np.testing.assert_array_equal(first, direct)
-    cpath = cache / "a.c64.npy"
+    from pathlib import Path
+    cpath = Path(reader._cache_path(str(p)))
     assert cpath.exists()
     second = reader(str(p))["image"]
     np.testing.assert_array_equal(second, first)
@@ -283,6 +284,78 @@ def test_chest_decode_cache_round_trip(tmp_path):
     healed = reader(str(p))["image"]
     np.testing.assert_array_equal(healed, direct)
     assert np.load(cpath).shape == first.shape  # rewritten
+
+
+def test_chest_decode_mixed_modes_single_channel(tmp_path):
+    """A dataset mixing L / RGB / RGBA / P containers decodes to a uniform
+    (H, W, 1) uint8 — mixed channel counts would crash np.stack mid-epoch
+    in HostLoader (NIH ChestX-ray14 really does mix L and RGBA PNGs)."""
+    from PIL import Image
+
+    from pcrlv2_tpu.data.pipeline import HostLoader, load_chest_sample
+
+    rng = np.random.RandomState(0)
+    paths = []
+    for mode in ("L", "RGB", "RGBA", "P"):
+        shape = (40, 40) if mode == "L" else (40, 40, len(mode))
+        arr = rng.randint(0, 255, shape, np.uint8)
+        im = Image.fromarray(arr.squeeze(), mode if mode != "P" else "L")
+        if mode == "P":
+            im = im.convert("P")
+        p = tmp_path / f"img_{mode}.png"
+        im.save(p)
+        paths.append(str(p))
+    for p in paths:
+        assert load_chest_sample(p, canvas=32)["image"].shape == (32, 32, 1)
+    # and the whole mixed-mode epoch stacks fine
+    loader = HostLoader(paths, 4, lambda p: load_chest_sample(p, canvas=32),
+                        shuffle=False, num_workers=2)
+    batch = next(loader.epoch(0))
+    assert batch["image"].shape == (4, 32, 32, 1)
+    assert batch["image"].dtype == np.uint8
+
+
+def test_chest_cache_no_basename_collision(tmp_path):
+    """Two images named `img.png` in different subdirs must cache under
+    different keys — a basename-keyed cache would silently serve the first
+    image's pixels for the second."""
+    from PIL import Image
+
+    from pcrlv2_tpu.data.pipeline import CachedChestReader
+
+    a = tmp_path / "sub_a" / "img.png"
+    b = tmp_path / "sub_b" / "img.png"
+    a.parent.mkdir()
+    b.parent.mkdir()
+    Image.fromarray(np.zeros((16, 16), np.uint8), "L").save(a)
+    Image.fromarray(np.full((16, 16), 200, np.uint8), "L").save(b)
+
+    reader = CachedChestReader(str(tmp_path / "cache"), canvas=16)
+    assert reader._cache_path(str(a)) != reader._cache_path(str(b))
+    pa = reader(str(a))["image"]
+    pb = reader(str(b))["image"]  # cache now warm for both
+    assert pa.max() == 0 and pb.min() == 200
+    # second pass serves each image its OWN pixels from cache
+    np.testing.assert_array_equal(reader(str(a))["image"], pa)
+    np.testing.assert_array_equal(reader(str(b))["image"], pb)
+
+
+def test_chest_cache_stale_shape_self_heals(tmp_path):
+    """A cache entry with a pre-fix layout (3-channel) is re-decoded, not
+    served — one epoch must never mix channel counts."""
+    from PIL import Image
+
+    from pcrlv2_tpu.data.pipeline import CachedChestReader
+
+    p = tmp_path / "x.png"
+    Image.fromarray(np.full((16, 16), 7, np.uint8), "L").save(p)
+    reader = CachedChestReader(str(tmp_path / "cache"), canvas=16)
+    cpath = reader._cache_path(str(p))
+    os.makedirs(os.path.dirname(cpath), exist_ok=True)
+    np.save(open(cpath, "wb"), np.zeros((16, 16, 3), np.uint8))  # stale 3ch
+    out = reader(str(p))["image"]
+    assert out.shape == (16, 16, 1) and out.max() == 7
+    assert np.load(cpath).shape == (16, 16, 1)  # rewritten in current layout
 
 
 def test_luna_preprocess_multiprocess(tmp_path):
