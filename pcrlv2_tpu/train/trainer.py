@@ -58,6 +58,11 @@ class TrainConfig:
     eval_batches: int = 0  # cap batches per eval pass; 0 = the full fold
     spatial: int = 1  # >1: depth-shard the global views over `spatial` chips
 
+    def __post_init__(self):
+        # --log_every 0 would ZeroDivisionError at the (idx+1) % log_every
+        # check on the first iteration; clamp to every-step logging
+        self.log_every = max(1, int(self.log_every))
+
     def ckpt_name(self, epoch: int) -> str:
         return (f"{self.model}_{self.n}_{self.phase}_{self.ratio}_{epoch}.pt")
 
@@ -355,6 +360,14 @@ def run_training(model, cfg: TrainConfig, loader, aug_fn, dim: int,
     """Full pretraining run (reference epoch loop ``train_3d.py:60-83``)."""
     import contextlib
 
+    chip_lock = None
+    if jax.default_backend() != "cpu":
+        # single-chip contention guard: makes bench.py refuse to time while
+        # this run trains (and warns if someone else already holds the chip)
+        from pcrlv2_tpu.utils import chiplock
+        chip_lock = chiplock.guard_warn(
+            f"trainer d={dim} n={cfg.n} output={cfg.output}")
+
     trainer = Trainer(model, cfg, aug_fn, dim=dim, sample_batch=sample_batch,
                       mesh=mesh)
     if encoder_weights:
@@ -413,4 +426,6 @@ def run_training(model, cfg: TrainConfig, loader, aug_fn, dim: int,
                 if on_ref_cadence:  # .pt artifacts only at reference epochs
                     trainer.save_reference_ckpt(epoch)
                 trainer.save_orbax(epoch)
+    if chip_lock is not None:
+        chip_lock.release()
     return trainer

@@ -1,0 +1,112 @@
+"""Single-chip contention guard (advisory flock).
+
+This environment exposes ONE tunneled TPU chip; two processes training or
+timing on it serialize and both numbers become garbage.  That exact failure
+contaminated the round-3 official benchmark (a background soak overlapped
+the capture window and shaved a fake 24% off the headline).  Every
+TPU-bound entry point therefore takes an exclusive ``flock`` on a
+well-known path: benchmarks REFUSE to run while another holder is live,
+trainers warn loudly and record the holder.
+
+The lock is advisory and crash-safe (flock drops with the fd on process
+death — no stale-lock cleanup needed).  Holder metadata (pid/label/time)
+is written into the file for diagnostics; it may be stale after a crash,
+but the flock itself never is.
+"""
+
+from __future__ import annotations
+
+import fcntl
+import json
+import os
+import time
+from typing import Optional
+
+LOCK_PATH = os.environ.get("PCRL_CHIP_LOCK", "/tmp/pcrl_tpu.lock")
+
+
+class ChipLock:
+    """Held exclusive lock; release explicitly or let process exit drop it."""
+
+    def __init__(self, fd: int, path: str, label: str):
+        self._fd = fd
+        self.path = path
+        self.label = label
+
+    def release(self) -> None:
+        if self._fd is not None:
+            try:
+                fcntl.flock(self._fd, fcntl.LOCK_UN)
+            finally:
+                os.close(self._fd)
+                self._fd = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.release()
+
+
+def acquire(label: str, path: Optional[str] = None) -> Optional[ChipLock]:
+    """Try to take the chip lock. Returns a ``ChipLock`` or ``None`` if some
+    other process currently holds it (use :func:`holder_info` to say who)."""
+    path = path or LOCK_PATH
+    fd = os.open(path, os.O_RDWR | os.O_CREAT, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        os.close(fd)
+        return None
+    meta = json.dumps({"pid": os.getpid(), "label": label,
+                       "since": time.time()}) + "\n"
+    os.ftruncate(fd, 0)
+    os.pwrite(fd, meta.encode(), 0)
+    return ChipLock(fd, path, label)
+
+
+def holder_info(path: Optional[str] = None) -> dict:
+    """Best-effort metadata about the current/most-recent holder."""
+    path = path or LOCK_PATH
+    try:
+        with open(path) as f:
+            info = json.loads(f.read() or "{}")
+    except (OSError, ValueError):
+        return {}
+    if "since" in info:
+        info["held_for_s"] = round(time.time() - float(info["since"]), 1)
+    return info
+
+
+def guard_exclusive(label: str, path: Optional[str] = None) -> ChipLock:
+    """Acquire or die: for benchmarks, where a contended chip means the
+    measurement is garbage.  Raises ``SystemExit`` naming the holder.
+    Override with ``PCRL_IGNORE_CHIP_LOCK=1`` (the number will be garbage)."""
+    if os.environ.get("PCRL_IGNORE_CHIP_LOCK") == "1":
+        return ChipLock(os.open(os.devnull, os.O_RDONLY), path or LOCK_PATH,
+                        label)
+    lock = acquire(label, path)
+    if lock is None:
+        info = holder_info(path)
+        raise SystemExit(
+            f"REFUSING to run '{label}': the TPU chip lock "
+            f"{path or LOCK_PATH} is held by {info or 'another process'} — "
+            "two jobs on the single tunneled chip serialize and both "
+            "numbers become garbage. Stop the other job (kill $(cat "
+            "/tmp/soak3d.pid)-style) or, to knowingly produce a garbage "
+            "number, set PCRL_IGNORE_CHIP_LOCK=1.")
+    return lock
+
+
+def guard_warn(label: str, path: Optional[str] = None) -> Optional[ChipLock]:
+    """Acquire or warn: for trainers, where contention is a user decision.
+    Returns the lock when acquired, ``None`` (plus a loud warning) when
+    another process holds the chip."""
+    lock = acquire(label, path)
+    if lock is None:
+        info = holder_info(path)
+        print(f"WARNING: TPU chip lock {path or LOCK_PATH} is held by "
+              f"{info or 'another process'} — this run will serialize with "
+              "it on the single chip and BOTH jobs' timings will be garbage.",
+              flush=True)
+    return lock

@@ -1,15 +1,15 @@
 """Pin the DEVICE-side step rate with saturated loops of varying depth.
 
-bench.py times WARMUP+20 pipelined steps with one trailing sync; the trainer's
-BT meter samples only the boundary iteration of each log window.  The two have
-disagreed (bench 61.9 vols/s vs trainer BT suggesting ~100), so this probe
-measures the same jitted pipelined program (device-resident synthetic batch,
-zero H2D) at several queue depths K, each timed from first dispatch to a
-device_get of the final step's metrics — the unambiguous wall-clock truth.
+bench.py times WARMUP + trials×STEPS pipelined steps with one trailing sync
+per trial; the trainer's BT meter is true wall time per log window.  This
+probe measures the same jitted pipelined program (device-resident synthetic
+batch, zero H2D) at several queue depths K, each timed from first dispatch to
+a device_get of the final step's metrics — the unambiguous wall-clock truth.
 
 Also times each *dispatch* (host-side call) to expose tunnel RPC overhead.
 
 Usage: python tools/probe_device_rate.py [b] [Ks...]   (default b=32, K=10 20 60)
+       PROBE_DIM=2 python tools/probe_device_rate.py 64   (2D chest pipeline)
 """
 
 import os
@@ -18,28 +18,50 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pcrlv2_tpu.utils import chiplock
+
+_lock = chiplock.guard_exclusive("probe_device_rate")  # timing run: refuse a busy chip
+
 import jax
 import jax.numpy as jnp
 
-from pcrlv2_tpu.data.augment3d import make_luna_aug_fn
-from pcrlv2_tpu.data.pipeline import synthetic_luna_batch
-from pcrlv2_tpu.models import PCRLv23d
 from pcrlv2_tpu.train.optimizer import sgd
 from pcrlv2_tpu.train.step import create_train_state, make_pipelined_train_step
 
+DIM = int(os.environ.get("PROBE_DIM", "3"))
+
 
 def main():
-    b = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else (32 if DIM == 3 else 64)
     ks = [int(x) for x in sys.argv[2:]] or [10, 20, 60]
 
-    model = PCRLv23d()
     tx = sgd()
-    state = create_train_state(model, tx, jax.random.key(0),
-                               jnp.zeros((b, 64, 64, 32, 1), jnp.float32))
-    aug_fn = make_luna_aug_fn()
-    pipe = jax.jit(make_pipelined_train_step(model, tx, aug_fn, dim=3),
+    if DIM == 3:
+        from pcrlv2_tpu.data.augment3d import make_luna_aug_fn
+        from pcrlv2_tpu.data.pipeline import synthetic_luna_batch
+        from pcrlv2_tpu.models import PCRLv23d
+
+        model = PCRLv23d()
+        sample = jnp.zeros((b, 64, 64, 32, 1), jnp.float32)
+        aug_fn = make_luna_aug_fn()
+        batch = synthetic_luna_batch(b)
+        unit = "vols/s"
+    else:
+        from pcrlv2_tpu.data.augment2d import make_chest_aug_fn
+        from pcrlv2_tpu.data.pipeline import synthetic_chest_batch
+        from pcrlv2_tpu.models import PCRLv2
+
+        model = PCRLv2()
+        sample = jnp.zeros((b, 224, 224, 3), jnp.float32)
+        aug_fn = make_chest_aug_fn()
+        batch = synthetic_chest_batch(b)
+        unit = "imgs/s"
+    state = create_train_state(model, tx, jax.random.key(0), sample)
+    loss_guard = 1000.0 if DIM == 3 else None
+    pipe = jax.jit(make_pipelined_train_step(model, tx, aug_fn, dim=DIM,
+                                             loss_guard=loss_guard),
                    donate_argnums=(0, 1))
-    batch = jax.device_put(jax.tree.map(jnp.asarray, synthetic_luna_batch(b)))
+    batch = jax.device_put(jax.tree.map(jnp.asarray, batch))
     lr, epoch = jnp.float32(1e-3), jnp.int32(0)
 
     def sync(x):
@@ -67,7 +89,7 @@ def main():
         t_all = time.perf_counter() - t0
         print(f"K={k:3d}  dispatch {t_disp:7.3f}s ({1e3*t_disp/k:6.1f} ms/step)"
               f"  +metrics_sync {t_sync:7.3f}s  +params_sync {t_all:7.3f}s"
-              f"  -> {b*k/t_all:6.2f} vols/s  "
+              f"  -> {b*k/t_all:6.2f} {unit}  "
               f"(max dispatch {1e3*max(disp):.0f} ms)")
         sys.stdout.flush()
 

@@ -18,16 +18,31 @@ import json, sys
 path, bsz, label = sys.argv[1], int(sys.argv[2]), sys.argv[3]
 rows = [json.loads(l) for l in open(path)]
 iters = [r for r in rows if "iter" in r and r.get("BT", 0) > 0]
-# steady state: drop the first half (compile + cache warm)
-tail = iters[len(iters) // 2:]
-if not tail:
-    print(json.dumps({"label": label, "error": "no steady-state rows"})); raise SystemExit
-bt = sum(r["BT"] for r in tail) / len(tail)
-dt = sum(r["DT"] for r in tail) / len(tail)
-print(json.dumps({"label": label, "steady_state_rows": len(tail),
-                  "BT_s": round(bt, 4), "DT_s": round(dt, 4),
-                  "rate_per_sec": round(bsz / bt, 2),
-                  "data_wait_frac": round(dt / bt, 3)}))
+# the tunnel's fresh-data upload rate is BIMODAL run-to-run (50 vs 25.5
+# vols/s seen for identical configs — BENCHMARKS.md): report the MEDIAN
+# per-epoch rate with the min/max spread, never a single number.
+# epoch 0 is compile+cache-warm; later epochs are independent measurements.
+by_epoch = {}
+for r in iters:
+    by_epoch.setdefault(r["epoch"], []).append(r)
+rates, waits = [], []
+for ep in sorted(by_epoch):
+    if ep == 0:
+        continue
+    rs = by_epoch[ep]
+    bt = sum(r["BT"] for r in rs) / len(rs)
+    rates.append(bsz / bt)
+    waits.append(sum(r["DT"] for r in rs) / len(rs) / bt)
+if not rates:
+    print(json.dumps({"label": label, "error": "need >=2 epochs"})); raise SystemExit
+rates.sort()
+med = rates[len(rates) // 2]
+print(json.dumps({"label": label, "epochs_measured": len(rates),
+                  "rate_per_sec_median": round(med, 2),
+                  "rate_per_sec_min": round(rates[0], 2),
+                  "rate_per_sec_max": round(rates[-1], 2),
+                  "spread_frac": round((rates[-1] - rates[0]) / med, 3),
+                  "data_wait_frac": round(sum(waits) / len(waits), 3)}))
 EOF
 }
 
@@ -44,8 +59,8 @@ print("tree ready")
 EOF
   fi
   rm -rf "$OUT/run3d"; mkdir -p "$OUT/run3d"
-  timeout 2400 python main.py --data "$TREE" \
-    --train_list "$OUT/luna_train.txt" --b 32 --epochs 2 --lr 1e-3 \
+  timeout 3600 python main.py --data "$TREE" \
+    --train_list "$OUT/luna_train.txt" --b 32 --epochs 4 --lr 1e-3 \
     --d 3 --n luna --workers 8 --amp --log_every 5 \
     --output "$OUT/run3d" 2>&1 | tail -3
   summarize "$OUT/run3d/metrics.jsonl" 32 "3d_e2e_disk_to_device"
