@@ -72,6 +72,15 @@ def build_parser() -> argparse.ArgumentParser:
                         help="torch ResNet-18 state_dict (.pt) to initialize "
                              "the 2D encoder — the ImageNet-init analog of "
                              "the reference's smp default (no download here)")
+    parser.add_argument("--weight", default=None,
+                        help="pretrained .pt for --phase finetune (ours or "
+                             "the reference's): 2D loads the encoder with "
+                             "the fc.* patch (README.md:40-44), 3D loads the "
+                             "full PCRLv23d (README.md:50-54)")
+    parser.add_argument("--n_class", default=14, type=int,
+                        help="finetune classes: 2D classifier labels "
+                             "(14 = NIH ChestX-ray), 3D segmentation "
+                             "channels (1)")
     parser.add_argument("--use_painting", action="store_true", default=False,
                         help="enable in/out-painting corruption (the "
                              "Model-Genesis ops dormant in the reference, "
@@ -190,6 +199,8 @@ class DataGenerator:
         return {
             "pcrlv2_luna_pretask": cls.pcrlv2_luna_pretask,
             "pcrlv2_chest_pretask": cls.pcrlv2_chest_pretask,
+            "pcrlv2_luna_finetune": cls.pcrlv2_luna_finetune,
+            "pcrlv2_chest_finetune": cls.pcrlv2_chest_finetune,
         }
 
     def build(self, name: str):
@@ -315,6 +326,62 @@ class DataGenerator:
         return {"train": train, "eval": evaluate}
 
 
+    def pcrlv2_luna_finetune(self):
+        """3D finetune loader: the COMPLEMENT of the pretrain UID split
+        (reference ``utils.py:30-35`` exists exactly for this phase) over the
+        same processed crop tree.  Masks: none ship with the reference repo,
+        so the trainer derives intensity-threshold pseudo-masks (documented
+        placeholder, ``train/finetune.py``)."""
+        from pcrlv2_tpu.data.manifests import (get_luna_finetune_list,
+                                               get_luna_list)
+        from pcrlv2_tpu.data.pipeline import HostLoader, load_luna_sample
+
+        args = self.args
+        if not os.path.exists(args.train_list):
+            raise SystemExit(f"train list not found: {args.train_list}")
+        uids = get_luna_finetune_list(args.ratio, args.train_list)
+        if not uids:
+            raise SystemExit(
+                f"--ratio {args.ratio} leaves no finetune UIDs (the finetune "
+                "split is the COMPLEMENT of the pretrain split; use "
+                "--ratio < 1.0)")
+        x_train, x_valid, _ = get_luna_list(
+            args.data, train_fold=range(7), valid_fold=range(7, 10),
+            test_fold=range(7, 10), suffix="_global_", file_list=uids)
+        print(f"finetune train images {len(x_train)}, "
+              f"validation images {len(x_valid)}")
+        args, (x_train,) = _shard_for_process(args, x_train)
+        train = HostLoader(x_train, args.b, load_luna_sample, shuffle=True,
+                           seed=args.seed, num_workers=args.workers)
+        return {"train": train, "eval": None}
+
+    def pcrlv2_chest_finetune(self):
+        """2D finetune loader: images + the 14 NIH labels the manifest
+        already carries (reference ``utils.py:7-19``) — the documented
+        downstream classification task (README.md:31-38)."""
+        from functools import partial
+
+        from pcrlv2_tpu.data.manifests import get_chest_list
+        from pcrlv2_tpu.data.pipeline import HostLoader, load_chest_sample
+
+        args = self.args
+        txt = args.train_list
+        if "luna" in os.path.basename(txt):
+            txt = os.path.join(os.path.dirname(txt) or ".", "chest_train.txt")
+        names, labels = get_chest_list(txt, args.data)
+        print(f"finetune train images {len(names)}")
+        args, (names, labels) = _shard_for_process(args, names, labels)
+        label_of = {n: np.asarray(l, np.float32) for n, l in zip(names, labels)}
+        base = partial(load_chest_sample, canvas=224)  # classifier input res
+
+        def read(path):
+            return {**base(path), "label": label_of[path]}
+
+        train = HostLoader(names, args.b, read, shuffle=True, seed=args.seed,
+                           num_workers=args.workers)
+        return {"train": train, "eval": None}
+
+
 def _synthetic_loader(args, dim: int):
     """In-memory loader with the exact preprocessed shapes — lets every CLI
     path run end-to-end without the LUNA16/NIH downloads."""
@@ -328,6 +395,7 @@ def _synthetic_loader(args, dim: int):
             return n_batches
 
         def epoch(self, epoch: int):
+            finetune = getattr(args, "phase", "pretask") == "finetune"
             for i in range(n_batches):
                 seed = args.seed + epoch * n_batches + i
                 if dim == 3:
@@ -335,9 +403,16 @@ def _synthetic_loader(args, dim: int):
                 else:
                     # synthetic data has no native size; 0/auto means the
                     # NIH-native 1024 canvas the real default would detect
-                    canvas = getattr(args, "chest_canvas", 0) or 1024
-                    yield synthetic_chest_batch(args.b, canvas=canvas,
-                                                seed=seed)
+                    # (finetune classifies at the 224 input resolution)
+                    canvas = (getattr(args, "chest_canvas", 0)
+                              or (224 if finetune else 1024))
+                    batch = synthetic_chest_batch(args.b, canvas=canvas,
+                                                  seed=seed)
+                    if finetune:
+                        rng = np.random.RandomState(seed)
+                        batch["label"] = rng.randint(
+                            0, 2, (args.b, args.n_class)).astype(np.float32)
+                    yield batch
 
     return {"train": _Loader(), "eval": None}
 
@@ -462,6 +537,18 @@ def main(argv=None) -> None:
                      sample_batch=sample, mesh=mesh,
                      eval_loader=loaders.get("eval"),
                      encoder_weights=args.encoder_weights)
+    elif args.model == "pcrlv2" and args.phase == "finetune":
+        # the reference's main.py silently no-ops here (main.py:47-50); its
+        # README documents the consumption recipe instead (README.md:29-55)
+        # — implemented as a first-class trainer (train/finetune.py)
+        from pcrlv2_tpu.train.finetune import run_finetune
+
+        if args.d not in (2, 3):
+            raise SystemExit(f"unsupported --d {args.d}")
+        n_class = args.n_class if args.d == 2 else 1
+        print(f"finetuning pcrlv2 {args.d}d (n_class={n_class})")
+        run_finetune(cfg, loaders["train"], dim=args.d, n_class=n_class,
+                     policy=policy, weight=args.weight)
     else:
         # reference behavior: any other combination silently does nothing
         # after building the dataloader (main.py:47-50) — be loud instead.

@@ -195,12 +195,21 @@ def torch_state_to_flax(state_dict: Mapping[str, Any], mapping) -> Dict[str, dic
 
 
 def flax_to_torch_state(variables: Mapping[str, Any], mapping) -> Dict[str, np.ndarray]:
-    """Convert Flax variables to a torch-layout state_dict (numpy values)."""
+    """Convert Flax variables to a torch-layout state_dict (numpy values).
+
+    Every BatchNorm also gets its ``num_batches_tracked`` step counter
+    (int64 scalar, no Flax analog — emitted as 0): torch registers it as a
+    buffer, so ``load_state_dict(strict=True)`` into the reference models
+    (the README consumption recipe, ``README.md:40-54``) requires the key.
+    """
     out: Dict[str, np.ndarray] = {}
     for tkey, fpath, kind in mapping:
         src = variables["batch_stats"] if kind == "stat" else variables["params"]
         val = np.asarray(jax.device_get(_get_path(src, fpath)), dtype=np.float32)
         out[tkey] = _F2T[kind](val)
+        if kind == "stat" and tkey.endswith(".running_var"):
+            out[tkey[: -len("running_var")] + "num_batches_tracked"] = (
+                np.zeros((), np.int64))
     return out
 
 
@@ -314,7 +323,10 @@ def save_reference_checkpoint(path: str, state_dict: Dict[str, np.ndarray],
     load it unchanged."""
     import torch
 
-    tensors = {k: torch.from_numpy(np.ascontiguousarray(v))
+    # np.array(copy=True): jax exports read-only views torch warns about.
+    # .reshape(v.shape): the copy promotes 0-d arrays to (1,), which would
+    # corrupt BN num_batches_tracked scalars
+    tensors = {k: torch.from_numpy(np.array(v, copy=True)).reshape(v.shape)
                for k, v in state_dict.items()}
     torch.save({"opt": opt, "state_dict": tensors, "optimizer": optimizer,
                 "epoch": epoch}, path)

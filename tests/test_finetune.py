@@ -1,0 +1,263 @@
+"""--phase finetune: the documented downstream consumption path
+(reference ``README.md:29-55``) as a first-class trainer.
+
+Covers load (pretrained .pt, with the 2D ``fc.*`` patch) → train (synthetic
+labels, CPU-runnable) → save (reference ``{'opt','state_dict','optimizer',
+'epoch'}`` schema), plus schema interop: the saved 2D checkpoint is a
+COMPLETE torchvision ResNet-18 state_dict; the saved 3D checkpoint strict-
+loads into the reference's own ``PCRLv23d``.
+"""
+
+import importlib.util
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcrlv2_tpu.train import checkpoint as ckpt_lib
+from pcrlv2_tpu.train.finetune import (ChestClassifier, FinetuneTrainer,
+                                       bce_with_logits, dice_loss,
+                                       pseudo_mask, seg_loss)
+from pcrlv2_tpu.train.trainer import TrainConfig
+
+REF3D = "/root/reference/models/pcrlv2_model_3d.py"
+
+
+def _cfg(tmp_path, **kw):
+    base = dict(b=2, epochs=0, lr=1e-2, output=str(tmp_path / "out"),
+                seed=0, phase="finetune")
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+# ---------------------------------------------------------------------------
+# loss units
+# ---------------------------------------------------------------------------
+
+
+def test_bce_with_logits_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(0)
+    z = rng.randn(4, 14).astype(np.float32) * 3
+    y = rng.randint(0, 2, (4, 14)).astype(np.float32)
+    ours = float(bce_with_logits(jnp.asarray(z), jnp.asarray(y)))
+    ref = float(torch.nn.functional.binary_cross_entropy_with_logits(
+        torch.from_numpy(z), torch.from_numpy(y)))
+    assert abs(ours - ref) < 1e-6
+
+
+def test_dice_loss_perfect_and_disjoint():
+    a = jnp.ones((1, 4, 4, 4, 1))
+    assert float(dice_loss(a, a)) < 1e-4
+    assert float(dice_loss(a, jnp.zeros_like(a))) > 0.99
+    # seg_loss finite at the clip boundary (probs exactly 0/1)
+    assert np.isfinite(float(seg_loss(a, jnp.zeros_like(a))))
+
+
+def test_pseudo_mask_threshold():
+    v = jnp.asarray([[0.2, 0.7], [0.5, 0.9]])
+    np.testing.assert_array_equal(np.asarray(pseudo_mask(v)),
+                                  [[0.0, 1.0], [0.0, 1.0]])
+
+
+# ---------------------------------------------------------------------------
+# 2D: load -> train -> save -> torchvision strict round-trip
+# ---------------------------------------------------------------------------
+
+
+def _synthetic_2d_batches(b, n, n_class=14, seed=0):
+    rng = np.random.RandomState(seed)
+    return [{"image": rng.rand(b, 224, 224, 3).astype(np.float32),
+             "label": rng.randint(0, 2, (b, n_class)).astype(np.float32)}
+            for _ in range(n)]
+
+
+class _Loader:
+    def __init__(self, batches):
+        self.batches = batches
+
+    def epoch(self, epoch):
+        return iter(self.batches)
+
+
+def test_finetune_2d_load_train_save(tmp_path):
+    torch = pytest.importorskip("torch")
+    cfg = _cfg(tmp_path, d=2, n="chest")
+
+    # a pretrained encoder-only .pt in the pretask convention (train_2d.py:99)
+    enc_model = ChestClassifier(n_class=14)
+    k1, k2 = jax.random.split(jax.random.key(1))
+    variables = enc_model.init({"params": k1, "dropout": k2},
+                               jnp.zeros((2, 224, 224, 3)), train=True)
+    enc = {"params": variables["params"]["encoder"],
+           "batch_stats": variables["batch_stats"]["encoder"]}
+    pre_path = str(tmp_path / "pretrained.pt")
+    ckpt_lib.export_resnet18_encoder(enc, pre_path)
+
+    trainer = FinetuneTrainer(cfg, dim=2, n_class=14, weight=pre_path)
+    # loaded = the exported encoder, leaf-exact
+    got = jax.tree.leaves(trainer.state.params["encoder"])
+    want = jax.tree.leaves(enc["params"])
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w))
+
+    before = jax.device_get(trainer.state.params["fc"]["kernel"])
+    stats = trainer.train_epoch(0, iter(_synthetic_2d_batches(2, 2)))
+    assert np.isfinite(stats["loss"])
+    after = jax.device_get(trainer.state.params["fc"]["kernel"])
+    assert np.abs(after - before).max() > 0  # the head actually trained
+
+    path = trainer.save(0)
+    ckpt = ckpt_lib.load_reference_checkpoint(path)
+    assert set(ckpt) == {"opt", "state_dict", "optimizer", "epoch"}
+
+    # the saved state_dict IS a complete torchvision ResNet-18 schema:
+    # every key + shape matches the fixture-pinned real schema (torchvision
+    # itself is not installed in this env; the fixture was captured from it),
+    # modulo fc rows = n_class instead of 1000
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "torchvision_resnet18_schema.txt")
+    want = {}
+    with open(fixture) as f:
+        for line in f:
+            if line.startswith("#") or not line.strip():
+                continue
+            key, rest = line.split(" ", 1)
+            want[key] = eval(rest.rsplit(" ", 1)[0])  # the shape tuple
+    got = {k: tuple(v.shape) for k, v in ckpt["state_dict"].items()}
+    assert set(got) == set(want)
+    for k in want:
+        expected = want[k]
+        if k == "fc.weight":
+            expected = (14, 512)
+        elif k == "fc.bias":
+            expected = (14,)
+        assert got[k] == expected, (k, got[k], expected)
+
+
+def test_finetune_2d_uint8_single_channel_batches(tmp_path):
+    """The real chest pipeline feeds uint8 (H, W, 1); the finetune step
+    normalizes + replicates channels on the fly."""
+    cfg = _cfg(tmp_path, d=2, n="chest")
+    trainer = FinetuneTrainer(cfg, dim=2, n_class=3)
+    rng = np.random.RandomState(0)
+    batch = {"image": rng.randint(0, 255, (2, 224, 224, 1), np.uint8),
+             "label": rng.randint(0, 2, (2, 3)).astype(np.float32)}
+    stats = trainer.train_epoch(0, iter([batch]))
+    assert np.isfinite(stats["loss"])
+
+
+# ---------------------------------------------------------------------------
+# 3D: load -> train -> save -> reference PCRLv23d strict round-trip
+# ---------------------------------------------------------------------------
+
+
+def test_finetune_3d_load_train_save(tmp_path):
+    torch = pytest.importorskip("torch")
+    cfg = _cfg(tmp_path, d=3, n="luna", b=2)
+
+    # a pretrained full-model .pt in the pretask convention (train_3d.py:74)
+    from pcrlv2_tpu.models import PCRLv23d
+    from pcrlv2_tpu.train.step import create_train_state
+    from pcrlv2_tpu.train.optimizer import sgd
+
+    st = create_train_state(PCRLv23d(), sgd(), jax.random.key(3),
+                            jnp.zeros((2, 64, 64, 32, 1)))
+    pre_path = str(tmp_path / "pretrained3d.pt")
+    ckpt_lib.export_pcrlv23d({"params": st.params,
+                              "batch_stats": st.batch_stats}, pre_path)
+
+    trainer = FinetuneTrainer(cfg, dim=3, weight=pre_path)
+    rng = np.random.RandomState(0)
+    batches = [{"pair": rng.rand(2, 2, 64, 64, 32).astype(np.float32),
+                "locals": rng.rand(2, 6, 16, 16, 16).astype(np.float32)}
+               for _ in range(2)]
+    stats = trainer.train_epoch(0, iter(batches))
+    assert np.isfinite(stats["loss"])
+    assert 0.0 <= stats["metric"] <= 1.0  # dice
+
+    path = trainer.save(0)
+    ckpt = ckpt_lib.load_reference_checkpoint(path)
+
+    if os.path.exists(REF3D):  # strict-load into the reference's own model
+        spec = importlib.util.spec_from_file_location("ref_m3d", REF3D)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        ref = mod.PCRLv23d()
+        ref.load_state_dict(ckpt["state_dict"], strict=True)
+
+
+def test_finetune_3d_explicit_masks(tmp_path):
+    """A batch carrying real masks trains against them, not the pseudo-mask."""
+    cfg = _cfg(tmp_path, d=3, n="luna", b=2)
+    trainer = FinetuneTrainer(cfg, dim=3)
+    rng = np.random.RandomState(0)
+    batch = {"pair": rng.rand(2, 2, 64, 64, 32).astype(np.float32),
+             "mask": rng.randint(0, 2, (2, 64, 64, 32, 1)).astype(np.float32)}
+    stats = trainer.train_epoch(0, iter([batch]))
+    assert np.isfinite(stats["loss"])
+
+
+# ---------------------------------------------------------------------------
+# CLI dispatch
+# ---------------------------------------------------------------------------
+
+
+def test_cli_finetune_2d_synthetic(tmp_path):
+    from pcrlv2_tpu.cli.main import main
+
+    out = tmp_path / "ft2d"
+    main(["--synthetic", "--d", "2", "--n", "chest", "--phase", "finetune",
+          "--b", "2", "--epochs", "0", "--steps_per_epoch", "2",
+          "--n_class", "3", "--output", str(out)])
+    saved = [f for f in os.listdir(out) if f.endswith(".pt")]
+    assert saved == ["pcrlv2_chest_finetune_1.0_0.pt"]
+    assert (out / "metrics.jsonl").exists()
+
+
+def test_cli_finetune_registry_loaders(tmp_path):
+    """The finetune loader builders: luna uses the complement split and is
+    loud when --ratio 1.0 leaves it empty; chest attaches the 14 labels."""
+    from PIL import Image
+
+    from pcrlv2_tpu.cli.main import DataGenerator, build_parser
+    from pcrlv2_tpu.data.pipeline import write_synthetic_luna_tree
+
+    tree = tmp_path / "luna"
+    uids = write_synthetic_luna_tree(str(tree), n_subsets=2,
+                                     uids_per_subset=2, pairs_per_uid=1)
+    lst = tmp_path / "luna_train.txt"
+    lst.write_text("\n".join(uids) + "\n")
+
+    args = build_parser().parse_args([
+        "--data", str(tree), "--train_list", str(lst), "--phase", "finetune",
+        "--b", "1", "--ratio", "0.5", "--workers", "1"])
+    loaders = DataGenerator(args).build("pcrlv2_luna_finetune")
+    batch = next(loaders["train"].epoch(0))
+    assert batch["pair"].shape == (1, 2, 64, 64, 32)
+
+    args = build_parser().parse_args([
+        "--data", str(tree), "--train_list", str(lst), "--phase", "finetune",
+        "--b", "1", "--ratio", "1.0", "--workers", "1"])
+    with pytest.raises(SystemExit, match="COMPLEMENT"):
+        DataGenerator(args).build("pcrlv2_luna_finetune")
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        Image.fromarray(rng.randint(0, 255, (64, 64), np.uint8), "L").save(
+            img_dir / f"x{i}.png")
+    clst = tmp_path / "chest_train.txt"
+    clst.write_text("".join(
+        f"x{i}.png " + " ".join(str((i + j) % 2) for j in range(14)) + "\n"
+        for i in range(2)))
+    args = build_parser().parse_args([
+        "--data", str(img_dir), "--train_list", str(clst), "--n", "chest",
+        "--d", "2", "--phase", "finetune", "--b", "2", "--workers", "1"])
+    loaders = DataGenerator(args).build("pcrlv2_chest_finetune")
+    batch = next(loaders["train"].epoch(0))
+    assert batch["image"].shape == (2, 224, 224, 1)
+    assert batch["label"].shape == (2, 14)

@@ -118,12 +118,16 @@ def test_import_consumes_full_torchvision_schema(tmp_path):
     back = ckpt_lib.flax_to_torch_state(
         variables, ckpt_lib.resnet18_encoder_mapping())
 
+    # everything except the fc head round-trips; num_batches_tracked is
+    # re-emitted as the int64-0 buffer torch's strict load requires (no Flax
+    # analog carries the counter)
     dropped = {k for k in sd if k not in back}
-    assert dropped == {"fc.weight", "fc.bias"} | {
-        k for k in sd if k.endswith("num_batches_tracked")}
+    assert dropped == {"fc.weight", "fc.bias"}
     for k, v in back.items():
-        np.testing.assert_array_equal(
-            v, sd[k].numpy(), err_msg=k)
+        if k.endswith("num_batches_tracked"):
+            assert v.dtype == np.int64 and v.shape == ()
+        else:
+            np.testing.assert_array_equal(v, sd[k].numpy(), err_msg=k)
 
 
 def test_encoder_matches_torch_resnet18(tmp_path):

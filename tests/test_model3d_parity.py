@@ -119,10 +119,16 @@ def test_checkpoint_roundtrip(torch_model):
     back = torch_state_to_flax(sd, pcrlv23d_mapping())
     for a, b in zip(jax.tree.leaves(variables), jax.tree.leaves(back)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    # and matches the original torch tensors bit-exactly
+    # and matches the original torch tensors bit-exactly — except the
+    # num_batches_tracked step counters, which Flax does not carry and the
+    # export re-emits as int64 0 so torch's strict load finds the buffer
     ref_sd = torch_model.state_dict()
+    assert set(sd) == set(ref_sd)
     for k, v in sd.items():
-        np.testing.assert_array_equal(v, ref_sd[k].numpy())
+        if k.endswith("num_batches_tracked"):
+            assert v.dtype == np.int64 and v.shape == ()
+        else:
+            np.testing.assert_array_equal(v, ref_sd[k].numpy())
 
 
 @pytest.mark.parametrize("act,norm", [("prelu", "in"), ("elu", "in")])
