@@ -108,32 +108,78 @@ def _combine_taps_d(y: jax.Array) -> jax.Array:
     return out
 
 
+def _fwd_row_band(h_out: int, w_out: int, dtype=None) -> int:
+    """Rows of output computed per in-kernel iteration.
+
+    The forward's f32 intermediates are 9 wide and therefore pad to the
+    128-lane tile: at the 64³ level the full-plane ``(66·66, 9)`` dot result
+    occupies 66·66·128·4 B ≈ 2.2 MB per live buffer, and Mosaic's scoped-VMEM
+    stack hit 16.50 M vs the 16 M budget (the round-3 compile FAIL,
+    BENCHMARKS.md).  Banding the plane into row strips bounds each
+    intermediate at ``(hb+2)·(w_out+2)`` rows (~600 KB at hb=16, w=64) while
+    the x halo streams stay whole-plane (0.56 MB each — cheap)."""
+    env = os.environ.get("PCRL_HEADCONV_HB")
+    if env:  # measurement knob: force a band height (0 = whole plane)
+        hb = int(env)
+        return h_out if hb <= 0 or h_out % hb else hb
+    if (h_out + 2) * (w_out + 2) <= 24 * 66:
+        return h_out  # small level: one band
+    # hardware-measured at the 64² plane (f32, whole-plane halo streams
+    # ≈13.7M fixed): hb=8 hits 16.73M > the 16M budget, hb=4 fits — the
+    # per-band f32 intermediates cost ≈0.37M per row.  bf16 stores into the
+    # rank-4 out block need the dynamic row offset sublane-aligned (Mosaic
+    # "multiple of 8"), so bf16 bands are 8 rows — the halved input streams
+    # pay for the bigger band.
+    ladder = (4, 2) if dtype is None or dtype == jnp.float32 else (8, 16)
+    for hb in ladder:
+        if h_out % hb == 0:
+            return hb
+    return h_out  # odd height: no banding (shapes this size all divide)
+
+
 def _pallas_kernel(x0, x1, x2, w_ref, out_ref):
     """One (batch, depth) program: one MXU dot per depth plane folding the
     td taps into the contraction (accumulated in f32 — no packed
-    ``(hw2, 3Ci)`` copy, which blew the 16M scoped-VMEM stack at the 64³
-    shape), 9-way shifted combine in VMEM.  HBM traffic is x-read +
+    ``(hw2, 3Ci)`` copy), 9-way shifted combine in VMEM, row-banded to fit
+    the 16M scoped-VMEM budget (``_fwd_row_band``).  HBM traffic is x-read +
     out-write only."""
     h_out, w_out = out_ref.shape[2], out_ref.shape[3]
     ci = x0.shape[-1]
-    hw2 = (h_out + 2) * (w_out + 2)
-
-    # y[p, th·3+tw] = Σ_td Σ_c plane_td[p, c] · w[td, th, tw, c]
-    y = None
-    for td, p in enumerate((x0, x1, x2)):
-        part = jnp.dot(p[0, 0].reshape(hw2, ci),
-                       w_ref[0, td * ci:(td + 1) * ci],
-                       preferred_element_type=jnp.float32)
-        y = part if y is None else y + part
-    y3 = y.reshape(h_out + 2, w_out + 2, 9)
+    hb = _fwd_row_band(h_out, w_out, out_ref.dtype)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 9), 2)
-    acc = None
-    for th in range(3):
-        for tw in range(3):
-            window = y3[th:th + h_out, tw:tw + w_out, :]
-            s = jnp.sum(jnp.where(lane == th * 3 + tw, window, 0.0), axis=-1)
-            acc = s if acc is None else acc + s
-    out_ref[0, 0] = acc[..., None].astype(out_ref.dtype)
+    rows = hb + 2
+    hw2 = rows * (w_out + 2)
+    # out_ref is rank-4 (no trailing Co=1): a (…, 1) block pads its minor dim
+    # to the 128-lane tile — 2 MB instead of 16 KB at the 64² plane, and the
+    # block is double-buffered.  The caller re-adds the channel axis.
+
+    # fori_loop (NOT a Python loop): unrolled bands each get their own slot
+    # on Mosaic's scoped-VMEM stack — the unrolled form measured 17.96M at
+    # the 64³ level, WORSE than the unbanded 16.50M.  A real loop keeps
+    # exactly one band's intermediates live.
+    def band(i, carry):
+        # the alignment hint lets Mosaic prove the rank-4 out store's row
+        # offset is sublane-tile-aligned
+        r0 = pl.multiple_of(i * hb, hb)
+        # y[p, th·3+tw] = Σ_td Σ_c plane_td[p, c] · w[td, th, tw, c]
+        y = None
+        for td, p in enumerate((x0, x1, x2)):
+            bx = p[0, 0, pl.ds(r0, rows)].reshape(hw2, ci)
+            part = jnp.dot(bx, w_ref[0, td * ci:(td + 1) * ci],
+                           preferred_element_type=jnp.float32)
+            y = part if y is None else y + part
+        y3 = y.reshape(rows, w_out + 2, 9)
+        acc = None
+        for th in range(3):
+            for tw in range(3):
+                window = y3[th:th + hb, tw:tw + w_out, :]
+                s = jnp.sum(jnp.where(lane == th * 3 + tw, window, 0.0),
+                            axis=-1)
+                acc = s if acc is None else acc + s
+        out_ref[0, 0, pl.ds(r0, hb)] = acc.astype(out_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, h_out // hb, band, 0)
 
 
 def _pallas_fwd(x: jax.Array, w: jax.Array) -> jax.Array:
@@ -158,10 +204,10 @@ def _pallas_fwd(x: jax.Array, w: jax.Array) -> jax.Array:
         in_specs=[xspec(0), xspec(1), xspec(2),
                   pl.BlockSpec((1, 3 * ci, 9), lambda b, dd: (0, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 1, h, wd, 1),
-                               lambda b, dd: (b, dd, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, h, wd),
+                               lambda b, dd: (b, dd, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, d, h, wd, 1), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, d, h, wd), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -173,7 +219,7 @@ def _pallas_fwd(x: jax.Array, w: jax.Array) -> jax.Array:
         ),
         interpret=jax.default_backend() == "cpu",
     )(xp, xp, xp, wmat)
-    return out
+    return out[..., None]
 
 
 def _pallas_bwd_kernel(x_blk, g0, g1, g2, k_ref, dx_ref, dw_ref, dw_acc):
@@ -189,25 +235,45 @@ def _pallas_bwd_kernel(x_blk, g0, g1, g2, k_ref, dx_ref, dw_ref, dw_acc):
     d = pl.program_id(1)
     h_out, w_out = dx_ref.shape[2], dx_ref.shape[3]
     ci = x_blk.shape[-1]
-    hw = h_out * w_out
 
     @pl.when(jnp.logical_and(b == 0, d == 0))
     def _():
         dw_acc[...] = jnp.zeros_like(dw_acc)
 
-    planes = (g0[0, 0, :, :, 0], g1[0, 0, :, :, 0], g2[0, 0, :, :, 0])
-    x2d = x_blk[0, 0].reshape(hw, ci)
-    dx = None
-    for t, (td, th, tw) in enumerate(OFFSETS):
-        window = planes[2 - td][2 - th:2 - th + h_out,
-                                2 - tw:2 - tw + w_out].reshape(hw, 1)
-        kcol = k_ref[0, :, t].reshape(1, ci)
-        term = window.astype(jnp.float32) * kcol.astype(jnp.float32)
-        dx = term if dx is None else dx + term
-        dw_acc[:, t:t + 1] += jax.lax.dot_general(
-            x2d, window, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    dx_ref[0, 0] = dx.reshape(h_out, w_out, ci).astype(dx_ref.dtype)
+    # row-banded like the forward: each (hw, 1) window pads its minor dim to
+    # the 128-lane tile (2 MB at the 64² plane), and 27 of them flow through
+    # the loop — a fori_loop band (one band's buffers live at a time) bounds
+    # every f32 intermediate at hb rows
+    hb = _fwd_row_band(h_out, w_out)
+    hw = hb * w_out
+
+    def band(i, carry):
+        r0 = i * hb
+        x2d = x_blk[0, 0, pl.ds(r0, hb)].reshape(hw, ci)
+        dx = None
+        for t, (td, th, tw) in enumerate(OFFSETS):
+            # NOTE: the g streams must stay rank-5 with the trailing Co=1 as
+            # the LANE dim — the (hw, 1) window reshape is layout-trivial
+            # from a lane-1 source, while from a squeezed rank-4 block
+            # (plane dims minor) Mosaic rejects the (hb, w)→(hw, 1) shape
+            # cast ("infer-vector-layout: unsupported shape cast").  The
+            # cost is the 128-lane pad on every g block; at the 64² plane
+            # that only fits the 16M scoped budget in bf16 (production) —
+            # f32 remains OOM, recorded in BENCHMARKS.md.
+            plane = (g0, g1, g2)[2 - td]
+            window = plane[0, 0, pl.ds(r0 + (2 - th), hb),
+                           2 - tw:2 - tw + w_out, 0].reshape(hw, 1)
+            kcol = k_ref[0, :, t].reshape(1, ci)
+            term = window.astype(jnp.float32) * kcol.astype(jnp.float32)
+            dx = term if dx is None else dx + term
+            dw_acc[:, t:t + 1] += jax.lax.dot_general(
+                x2d, window, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        dx_ref[0, 0, pl.ds(r0, hb)] = dx.reshape(hb, w_out, ci).astype(
+            dx_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, h_out // hb, band, 0)
 
     @pl.when(jnp.logical_and(b == pl.num_programs(0) - 1,
                              d == pl.num_programs(1) - 1))

@@ -230,6 +230,43 @@ class TestHeadConvTapMajor:
         np.testing.assert_allclose(np.asarray(got_dw), np.asarray(ref_dw),
                                    rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.parametrize("variant", ["tapP", "tapPx"])
+    def test_row_banded_kernel_matches_xla(self, variant, monkeypatch):
+        """A plane big enough that (h+2)(w+2) exceeds the one-band threshold
+        drives the in-kernel row banding (the fix for the 64³-level Mosaic
+        scoped-VMEM OOM, BENCHMARKS.md) — fwd + VJP still match XLA."""
+        import jax
+        from jax import lax
+
+        from pcrlv2_tpu.ops.head_conv import (_fwd_row_band,
+                                              conv3d_co1_tapmajor)
+
+        monkeypatch.setenv("PCRL_HEADCONV", variant)
+        h, wd = 32, 48
+        assert _fwd_row_band(h, wd) < h  # really multi-band
+        x, w, g = self._setup(ci=4, shape=(1, 3, h, wd))
+
+        def ref_conv(x_, w_):
+            return lax.conv_general_dilated(
+                x_, w_, (1, 1, 1), [(1, 1)] * 3,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+        np.testing.assert_allclose(
+            np.asarray(jax.jit(conv3d_co1_tapmajor)(x, w)),
+            np.asarray(jax.jit(ref_conv)(x, w)), rtol=1e-5, atol=1e-5)
+
+        def loss(fn):
+            return lambda x_, w_: jnp.sum(fn(x_, w_) * g)
+
+        got_dx, got_dw = jax.jit(jax.grad(loss(conv3d_co1_tapmajor),
+                                          argnums=(0, 1)))(x, w)
+        ref_dx, ref_dw = jax.jit(jax.grad(loss(ref_conv),
+                                          argnums=(0, 1)))(x, w)
+        np.testing.assert_allclose(np.asarray(got_dx), np.asarray(ref_dx),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_dw), np.asarray(ref_dw),
+                                   rtol=1e-4, atol=1e-4)
+
     def test_conv3d_dispatch(self, monkeypatch):
         """conv3d routes Co=1 3^3 convs through tap-major when enabled,
         bias included."""
