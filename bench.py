@@ -52,7 +52,7 @@ WARMUP = int(os.environ.get("BENCH_WARMUP", "3"))
 STEPS = int(os.environ.get("BENCH_STEPS", "20"))
 # ≥3 timed trials; the reported value is the MEDIAN (round-3 lesson: one
 # contended trial put a fake −24% in the official record)
-TRIALS = int(os.environ.get("BENCH_TRIALS", "3"))
+TRIALS = max(1, int(os.environ.get("BENCH_TRIALS", "3")))
 # BENCH_PRNG=rbg A/Bs the hardware RNG key impl for the on-device aug
 # (threefry is the deterministic default; rbg trades exact cross-run key
 # semantics for cheaper random-bit generation on TPU)

@@ -285,21 +285,24 @@ class DataGenerator:
             # on-device crops see the reference's full source resolution
             # (chestDataset.py:31-48 crops native-res CPU arrays).  Detect
             # from the UNSHARDED list (every multi-host process must agree on
-            # the batch shape or global-array assembly breaks) over a fixed
-            # sample of images: heterogeneous sizes take the max so nothing
-            # is downsampled
+            # the batch shape or global-array assembly breaks) over EVERY
+            # image — a sample could miss a larger source later in the list
+            # and silently downsample it; PIL's open reads only the header,
+            # so the full scan is one cheap stat+read per file, once per run
             from PIL import Image
 
             sizes = set()
-            for name in names[:8]:
+            for name in names:
                 with Image.open(name) as im:  # header read only — cheap
                     sizes.add(max(im.size))
             canvas = max(sizes)
-            note = (f" (sources disagree: {sorted(sizes)} — using the max)"
+            note = (f" (sources disagree: {sorted(sizes)} — using the max "
+                    "so nothing is downsampled)"
                     if len(sizes) > 1 else "")
-            print(f"==> chest canvas auto-detected from {len(sizes)} source "
-                  f"size(s): {canvas}{note} (native; pass --chest_canvas 512 "
-                  f"for the reduced-resolution fast mode)")
+            print(f"==> chest canvas auto-detected from {len(names)} "
+                  f"sources, {len(sizes)} distinct size(s): {canvas}{note} "
+                  f"(native; pass --chest_canvas 512 for the "
+                  f"reduced-resolution fast mode)")
         args, (names,) = _shard_for_process(args, names)
         cache = getattr(args, "chest_cache", "auto")
         if cache and cache != "off":
@@ -345,11 +348,13 @@ class DataGenerator:
                 f"--ratio {args.ratio} leaves no finetune UIDs (the finetune "
                 "split is the COMPLEMENT of the pretrain split; use "
                 "--ratio < 1.0)")
-        x_train, x_valid, _ = get_luna_list(
-            args.data, train_fold=range(7), valid_fold=range(7, 10),
-            test_fold=range(7, 10), suffix="_global_", file_list=uids)
-        print(f"finetune train images {len(x_train)}, "
-              f"validation images {len(x_valid)}")
+        # only the train folds are consumed (the finetune trainer has no
+        # eval pass); scanning the valid/test folds would be dead directory
+        # walks plus a log line implying an eval split that is never used
+        x_train, _, _ = get_luna_list(
+            args.data, train_fold=range(7), valid_fold=(),
+            test_fold=(), suffix="_global_", file_list=uids)
+        print(f"finetune train images {len(x_train)}")
         args, (x_train,) = _shard_for_process(args, x_train)
         train = HostLoader(x_train, args.b, load_luna_sample, shuffle=True,
                            seed=args.seed, num_workers=args.workers)
@@ -369,7 +374,12 @@ class DataGenerator:
         if "luna" in os.path.basename(txt):
             txt = os.path.join(os.path.dirname(txt) or ".", "chest_train.txt")
         names, labels = get_chest_list(txt, args.data)
-        print(f"finetune train images {len(names)}")
+        # --ratio is the label-efficiency knob (and is baked into the saved
+        # checkpoint's filename): slice the labeled set like the pretask
+        # path does, or a "10%-label" run would silently use 100%
+        keep = max(1, int(len(names) * args.ratio))
+        names, labels = names[:keep], labels[:keep]
+        print(f"finetune train images {len(names)} (ratio {args.ratio})")
         args, (names, labels) = _shard_for_process(args, names, labels)
         label_of = {n: np.asarray(l, np.float32) for n, l in zip(names, labels)}
         base = partial(load_chest_sample, canvas=224)  # classifier input res
@@ -437,6 +447,15 @@ def _limit(loader_dict, steps):
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    if args.multihost and args.phase == "finetune":
+        # the finetune trainer is plain single-process jit — no mesh, no
+        # cross-process gradient sync.  Accepting --multihost would have
+        # each process train a divergent replica on its data slice and race
+        # on the same checkpoint filename.  Refuse before jax.distributed
+        # even initializes.
+        raise SystemExit(
+            "--phase finetune does not support --multihost (the finetune "
+            "trainer runs single-process); launch it on one host")
     if not os.path.exists(args.output):
         print(f"Create the output dir: {args.output}")
         os.makedirs(args.output, exist_ok=True)
@@ -545,6 +564,11 @@ def main(argv=None) -> None:
 
         if args.d not in (2, 3):
             raise SystemExit(f"unsupported --d {args.d}")
+        if args.spatial > 1:
+            raise SystemExit("--phase finetune does not support --spatial")
+        if n_dev > 1:
+            print(f"WARNING: --phase finetune runs on ONE device; --gpus "
+                  f"selected {n_dev} (the extra devices will sit idle)")
         n_class = args.n_class if args.d == 2 else 1
         print(f"finetuning pcrlv2 {args.d}d (n_class={n_class})")
         run_finetune(cfg, loaders["train"], dim=args.d, n_class=n_class,

@@ -41,7 +41,7 @@ from pcrlv2_tpu.models.resnet import ResNet18Encoder
 from pcrlv2_tpu.train import checkpoint as ckpt_lib
 from pcrlv2_tpu.train.optimizer import apply_lr, cosine_lr, sgd
 from pcrlv2_tpu.train.step import TrainState
-from pcrlv2_tpu.utils.meters import AverageMeter, MetricLogger
+from pcrlv2_tpu.utils.meters import MetricLogger
 
 
 class ChestClassifier(nn.Module):
@@ -246,9 +246,11 @@ class FinetuneTrainer:
     def train_epoch(self, epoch: int, batch_iter) -> dict:
         cfg = self.cfg
         lr = jnp.float32(cosine_lr(epoch, cfg.lr, cfg.epochs))
-        meters = {k: AverageMeter() for k in ("loss", "metric")}
-        metrics = None
-        n = 0
+        # per-batch metrics stay on device (tiny scalars, keeps dispatch
+        # async); ONE device_get at epoch end yields the true epoch mean —
+        # syncing only the last batch would log an arbitrary sample of the
+        # training curve
+        collected = []
         for i, batch in enumerate(batch_iter):
             if self.dim == 2:
                 images = jnp.asarray(batch["image"])
@@ -266,14 +268,16 @@ class FinetuneTrainer:
                 masks = (jnp.asarray(batch["mask"], jnp.float32)
                          if "mask" in batch else pseudo_mask(vol))
                 self.state, metrics = self._step(self.state, vol, masks, lr)
-            n += 1
-        if metrics is not None:
-            metrics = jax.device_get(metrics)
-            meters["loss"].update(float(metrics["loss"]), n)
-            meters["metric"].update(
-                float(metrics.get("acc", metrics.get("dice", 0.0))), n)
-        out = {"epoch": epoch, "lr": float(lr),
-               "loss": meters["loss"].avg, "metric": meters["metric"].avg}
+            collected.append(metrics)
+        if collected:
+            vals = jax.device_get(collected)
+            loss = float(np.mean([v["loss"] for v in vals]))
+            metric = float(np.mean(
+                [v.get("acc", v.get("dice", 0.0)) for v in vals]))
+        else:
+            loss = metric = 0.0
+        out = {"epoch": epoch, "lr": float(lr), "loss": loss,
+               "metric": metric}
         self.logger.log(out)
         return out
 
@@ -303,6 +307,15 @@ def run_finetune(cfg, loader, *, dim: int, n_class: int = 14,
                  policy: Policy = DEFAULT_POLICY, weight: Optional[str] = None,
                  epochs: Optional[int] = None) -> FinetuneTrainer:
     """Load → train → save (the driver-facing entry for ``--phase finetune``)."""
+    if getattr(cfg, "resume", None):
+        # finetune checkpoints are reference-schema .pt weights (no optimizer
+        # state / Orbax tree) — accepting --resume and ignoring it would
+        # silently restart from scratch
+        raise SystemExit(
+            "--resume is not supported with --phase finetune: its "
+            "checkpoints are reference-schema .pt weight files. Restart "
+            "from the last saved .pt via --weight instead "
+            "(use --save_every N for a finer checkpoint cadence).")
     chip_lock = None
     if jax.default_backend() != "cpu":
         from pcrlv2_tpu.utils import chiplock
@@ -315,6 +328,10 @@ def run_finetune(cfg, loader, *, dim: int, n_class: int = 14,
         stats = trainer.train_epoch(epoch, loader.epoch(epoch))
         print(f"epoch {epoch}, total time {time.time() - t0:.2f}, "
               f"loss {stats['loss']:.4f}")
+        # same cadence contract as the pretask trainer: a long run killed
+        # mid-way loses at most save_every epochs instead of everything
+        if cfg.save_every and epoch % cfg.save_every == 0 and epoch < total:
+            print(f"==> checkpoint: {trainer.save(epoch)}")
     path = trainer.save(total)
     print(f"==> saved finetuned checkpoint: {path}")
     if chip_lock is not None:

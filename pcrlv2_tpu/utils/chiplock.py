@@ -52,7 +52,15 @@ def acquire(label: str, path: Optional[str] = None) -> Optional[ChipLock]:
     """Try to take the chip lock. Returns a ``ChipLock`` or ``None`` if some
     other process currently holds it (use :func:`holder_info` to say who)."""
     path = path or LOCK_PATH
-    fd = os.open(path, os.O_RDWR | os.O_CREAT, 0o644)
+    try:
+        # 0o666 (pre-umask) so a lock file created by one user doesn't turn
+        # another user's guard into a PermissionError crash; if the open
+        # still fails (e.g. an existing 0o644 file owned by someone else in
+        # sticky /tmp), report "can't acquire" and let the callers do their
+        # designed refuse/warn instead of dying on a raw traceback
+        fd = os.open(path, os.O_RDWR | os.O_CREAT, 0o666)
+    except OSError:
+        return None
     try:
         fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
     except OSError:
@@ -60,8 +68,11 @@ def acquire(label: str, path: Optional[str] = None) -> Optional[ChipLock]:
         return None
     meta = json.dumps({"pid": os.getpid(), "label": label,
                        "since": time.time()}) + "\n"
-    os.ftruncate(fd, 0)
-    os.pwrite(fd, meta.encode(), 0)
+    try:
+        os.ftruncate(fd, 0)
+        os.pwrite(fd, meta.encode(), 0)
+    except OSError:
+        pass  # metadata is diagnostics only; the flock itself is held
     return ChipLock(fd, path, label)
 
 

@@ -257,6 +257,34 @@ def test_chest_canvas_auto_detects_native_size(tmp_path):
     assert batch["image"].shape == (2, 96, 96, 1)
 
 
+def test_chest_canvas_scans_every_source(tmp_path):
+    """Auto-detect takes the max over the WHOLE list (PIL header reads are
+    cheap): a larger source deep in the list must set the canvas, or it
+    would be silently downsampled — the exact outcome native-resolution
+    mode exists to prevent."""
+    from PIL import Image
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(12):  # image 11 of 12 is 2x the rest
+        side = 128 if i == 11 else 64
+        Image.fromarray(
+            rng.randint(0, 255, (side, side), np.uint8), "L").save(
+                img_dir / f"x{i:02d}.png")
+    lst = tmp_path / "chest_train.txt"
+    lst.write_text("".join(f"x{i:02d}.png" + " 0" * 14 + "\n"
+                           for i in range(12)))
+    args = build_parser().parse_args([
+        "--n", "chest", "--d", "2", "--data", str(img_dir),
+        "--train_list", str(lst), "--b", "12", "--ratio", "1.0",
+        "--workers", "1", "--chest_cache", "off",
+    ])
+    loaders = DataGenerator(args).build("pcrlv2_chest_pretask")
+    batch = next(loaders["train"].epoch(0))
+    assert batch["image"].shape == (12, 128, 128, 1)
+
+
 def test_chest_decode_cache_round_trip(tmp_path):
     """CachedChestReader: first call decodes + writes the raw uint8 array,
     second call loads it byte-identically; a torn cache file re-decodes."""

@@ -201,8 +201,90 @@ def test_finetune_3d_explicit_masks(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# epoch bookkeeping
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_metrics_are_epoch_mean(tmp_path):
+    """metrics.jsonl must carry the TRUE epoch mean, not the last batch's
+    values (an outlier final batch would otherwise corrupt the logged
+    training curve)."""
+    cfg = _cfg(tmp_path, d=2, n="chest")
+    trainer = FinetuneTrainer(cfg, dim=2, n_class=3)
+    losses = iter([1.0, 2.0, 6.0])
+
+    def fake_step(state, images, labels, key, lr):
+        loss = jnp.float32(next(losses))
+        return state, {"loss": loss, "acc": loss / 10.0}
+
+    trainer._step = fake_step
+    stats = trainer.train_epoch(0, iter(_synthetic_2d_batches(2, 3,
+                                                              n_class=3)))
+    assert abs(stats["loss"] - 3.0) < 1e-6    # mean(1,2,6), not last=6
+    assert abs(stats["metric"] - 0.3) < 1e-6
+
+
+def test_finetune_resume_refused(tmp_path):
+    """--resume would be silently ignored (the .pt checkpoints carry no
+    optimizer state) — the trainer must refuse loudly instead."""
+    from pcrlv2_tpu.train.finetune import run_finetune
+
+    cfg = _cfg(tmp_path, d=2, n="chest", resume=str(tmp_path / "orbax"))
+    with pytest.raises(SystemExit, match="--resume"):
+        run_finetune(cfg, None, dim=2, n_class=3)
+
+
+def test_finetune_save_every_cadence(tmp_path):
+    """--save_every N checkpoints mid-run (a killed long finetune loses at
+    most N epochs), plus the final save."""
+    from pcrlv2_tpu.train.finetune import run_finetune
+
+    cfg = _cfg(tmp_path, d=2, n="chest", epochs=1, save_every=1)
+    loader = _Loader(_synthetic_2d_batches(2, 1, n_class=3))
+    run_finetune(cfg, loader, dim=2, n_class=3)
+    saved = sorted(f for f in os.listdir(cfg.output) if f.endswith(".pt"))
+    assert saved == ["pcrlv2_chest_finetune_1.0_0.pt",
+                     "pcrlv2_chest_finetune_1.0_1.pt"]
+
+
+# ---------------------------------------------------------------------------
 # CLI dispatch
 # ---------------------------------------------------------------------------
+
+
+def test_cli_finetune_multihost_refused(tmp_path):
+    """The finetune trainer is single-process (no cross-process gradient
+    sync); --multihost must refuse before jax.distributed initializes, not
+    train divergent replicas racing on one checkpoint file."""
+    from pcrlv2_tpu.cli.main import main
+
+    with pytest.raises(SystemExit, match="multihost"):
+        main(["--synthetic", "--d", "2", "--n", "chest", "--phase",
+              "finetune", "--multihost", "--output", str(tmp_path / "o")])
+
+
+def test_cli_chest_finetune_applies_ratio(tmp_path):
+    """--ratio is the label-efficiency knob and is baked into the checkpoint
+    filename — the chest finetune loader must actually slice by it."""
+    from PIL import Image
+
+    from pcrlv2_tpu.cli.main import DataGenerator, build_parser
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        Image.fromarray(rng.randint(0, 255, (64, 64), np.uint8), "L").save(
+            img_dir / f"x{i}.png")
+    clst = tmp_path / "chest_train.txt"
+    clst.write_text("".join(
+        f"x{i}.png" + " 0" * 14 + "\n" for i in range(4)))
+    args = build_parser().parse_args([
+        "--data", str(img_dir), "--train_list", str(clst), "--n", "chest",
+        "--d", "2", "--phase", "finetune", "--b", "1", "--ratio", "0.5",
+        "--workers", "1"])
+    loaders = DataGenerator(args).build("pcrlv2_chest_finetune")
+    assert len(loaders["train"]) == 2  # 2 of the 4 labeled images
 
 
 def test_cli_finetune_2d_synthetic(tmp_path):
