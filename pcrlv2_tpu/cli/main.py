@@ -348,17 +348,24 @@ class DataGenerator:
                 f"--ratio {args.ratio} leaves no finetune UIDs (the finetune "
                 "split is the COMPLEMENT of the pretrain split; use "
                 "--ratio < 1.0)")
-        # only the train folds are consumed (the finetune trainer has no
-        # eval pass); scanning the valid/test folds would be dead directory
-        # walks plus a log line implying an eval split that is never used
-        x_train, _, _ = get_luna_list(
-            args.data, train_fold=range(7), valid_fold=(),
+        # the valid folds (7-9, reference data.py:67-68) are scanned only
+        # when --eval_every asks for an eval pass — otherwise they would be
+        # dead directory walks implying a split that is never consumed
+        eval_folds = range(7, 10) if args.eval_every > 0 else ()
+        x_train, x_valid, _ = get_luna_list(
+            args.data, train_fold=range(7), valid_fold=eval_folds,
             test_fold=(), suffix="_global_", file_list=uids)
-        print(f"finetune train images {len(x_train)}")
+        msg = f"finetune train images {len(x_train)}"
+        if eval_folds:
+            msg += f", validation images {len(x_valid)}"
+        print(msg)
         args, (x_train,) = _shard_for_process(args, x_train)
         train = HostLoader(x_train, args.b, load_luna_sample, shuffle=True,
                            seed=args.seed, num_workers=args.workers)
-        return {"train": train, "eval": None}
+        evald = (HostLoader(x_valid, args.b, load_luna_sample, shuffle=False,
+                            seed=args.seed, num_workers=args.workers)
+                 if x_valid else None)
+        return {"train": train, "eval": evald}
 
     def pcrlv2_chest_finetune(self):
         """2D finetune loader: images + the 14 NIH labels the manifest
@@ -389,7 +396,28 @@ class DataGenerator:
 
         train = HostLoader(names, args.b, read, shuffle=True, seed=args.seed,
                            num_workers=args.workers)
-        return {"train": train, "eval": None}
+        evald = None
+        if args.eval_every > 0:
+            # the reference ships chest_valid.txt beside chest_train.txt
+            # (same name+14-labels format); a fixed-order pass over it is
+            # the held-out classification metric
+            vtxt = os.path.join(os.path.dirname(txt) or ".",
+                                "chest_valid.txt")
+            if os.path.exists(vtxt):
+                vnames, vlabels = get_chest_list(vtxt, args.data)
+                print(f"finetune validation images {len(vnames)}")
+                vlabel_of = {n: np.asarray(l, np.float32)
+                             for n, l in zip(vnames, vlabels)}
+
+                def vread(path):
+                    return {**base(path), "label": vlabel_of[path]}
+
+                evald = HostLoader(vnames, args.b, vread, shuffle=False,
+                                   seed=args.seed, num_workers=args.workers)
+            else:
+                print(f"WARNING: --eval_every set but {vtxt} not found — "
+                      "finetune runs without an eval pass")
+        return {"train": train, "eval": evald}
 
 
 def _synthetic_loader(args, dim: int):
@@ -424,7 +452,12 @@ def _synthetic_loader(args, dim: int):
                             0, 2, (args.b, args.n_class)).astype(np.float32)
                     yield batch
 
-    return {"train": _Loader(), "eval": None}
+    # finetune + --eval_every: a second loader instance serves as the eval
+    # split (run_finetune always iterates it as epoch 0 → fixed content)
+    evald = (_Loader()
+             if (getattr(args, "phase", "pretask") == "finetune"
+                 and getattr(args, "eval_every", 0) > 0) else None)
+    return {"train": _Loader(), "eval": evald}
 
 
 def _limit(loader_dict, steps):
@@ -572,7 +605,8 @@ def main(argv=None) -> None:
         n_class = args.n_class if args.d == 2 else 1
         print(f"finetuning pcrlv2 {args.d}d (n_class={n_class})")
         run_finetune(cfg, loaders["train"], dim=args.d, n_class=n_class,
-                     policy=policy, weight=args.weight)
+                     policy=policy, weight=args.weight,
+                     eval_loader=loaders.get("eval"))
     else:
         # reference behavior: any other combination silently does nothing
         # after building the dataloader (main.py:47-50) — be loud instead.

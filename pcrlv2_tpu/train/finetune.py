@@ -178,6 +178,34 @@ def make_finetune_step_3d(model, tx):
     return step
 
 
+def make_finetune_eval_2d(model):
+    """(params, batch_stats, images, labels) → metrics; eval mode (no
+    dropout, running BN statistics), no state mutation."""
+
+    def step(params, batch_stats, images, labels):
+        logits = model.apply({"params": params, "batch_stats": batch_stats},
+                             images, train=False)
+        loss = bce_with_logits(logits, labels)
+        acc = jnp.mean(((logits > 0) == (labels > 0.5)).astype(jnp.float32))
+        return {"loss": loss, "acc": acc}
+
+    return step
+
+
+def make_finetune_eval_3d(model):
+    """(params, batch_stats, volumes, masks) → metrics; eval mode."""
+
+    def step(params, batch_stats, volumes, masks):
+        out, _feats, _masks = model.apply(
+            {"params": params, "batch_stats": batch_stats}, volumes,
+            local=True, train=False)
+        loss = seg_loss(out, masks)
+        dice = 1.0 - dice_loss(out, masks)
+        return {"loss": loss, "dice": dice}
+
+    return step
+
+
 # ---------------------------------------------------------------------------
 # the driver
 # ---------------------------------------------------------------------------
@@ -216,6 +244,9 @@ class FinetuneTrainer:
                                  donate_argnums=(0,))
         else:
             raise ValueError(f"unsupported dim {dim}")
+        self._eval_step = jax.jit(
+            make_finetune_eval_2d(self.model) if dim == 2
+            else make_finetune_eval_3d(self.model))
         if weight:
             self.load_pretrained(weight)
             print(f"==> finetune initialized from {weight}")
@@ -243,6 +274,21 @@ class FinetuneTrainer:
                 params=variables["params"],
                 batch_stats=variables["batch_stats"])
 
+    def _prep(self, batch):
+        """Host batch → (inputs, targets) device arrays (shared by the train
+        and eval paths)."""
+        if self.dim == 2:
+            images = jnp.asarray(batch["image"])
+            if images.dtype == jnp.uint8:
+                images = images.astype(jnp.float32) / 255.0
+            if images.shape[-1] == 1:
+                images = jnp.tile(images, (1, 1, 1, 3))
+            return images, jnp.asarray(batch["label"], jnp.float32)
+        vol = jnp.asarray(batch["pair"], jnp.float32)[:, 0][..., None]
+        masks = (jnp.asarray(batch["mask"], jnp.float32)
+                 if "mask" in batch else pseudo_mask(vol))
+        return vol, masks
+
     def train_epoch(self, epoch: int, batch_iter) -> dict:
         cfg = self.cfg
         lr = jnp.float32(cosine_lr(epoch, cfg.lr, cfg.epochs))
@@ -252,22 +298,13 @@ class FinetuneTrainer:
         # training curve
         collected = []
         for i, batch in enumerate(batch_iter):
+            x, y = self._prep(batch)
             if self.dim == 2:
-                images = jnp.asarray(batch["image"])
-                if images.dtype == jnp.uint8:
-                    images = images.astype(jnp.float32) / 255.0
-                if images.shape[-1] == 1:
-                    images = jnp.tile(images, (1, 1, 1, 3))
-                labels = jnp.asarray(batch["label"], jnp.float32)
                 key = jax.random.fold_in(jax.random.key(cfg.seed),
                                          epoch * 100003 + i)
-                self.state, metrics = self._step(self.state, images, labels,
-                                                 key, lr)
+                self.state, metrics = self._step(self.state, x, y, key, lr)
             else:
-                vol = jnp.asarray(batch["pair"], jnp.float32)[:, 0][..., None]
-                masks = (jnp.asarray(batch["mask"], jnp.float32)
-                         if "mask" in batch else pseudo_mask(vol))
-                self.state, metrics = self._step(self.state, vol, masks, lr)
+                self.state, metrics = self._step(self.state, x, y, lr)
             collected.append(metrics)
         if collected:
             vals = jax.device_get(collected)
@@ -280,6 +317,22 @@ class FinetuneTrainer:
                "metric": metric}
         self.logger.log(out)
         return out
+
+    def evaluate(self, batch_iter, max_batches: int = 0) -> dict:
+        """Fixed-order eval pass (no dropout, running BN statistics, no
+        state mutation) → mean metrics keyed ``eval_*``."""
+        collected = []
+        for i, batch in enumerate(batch_iter):
+            if max_batches and i >= max_batches:
+                break
+            x, y = self._prep(batch)
+            collected.append(self._eval_step(self.state.params,
+                                             self.state.batch_stats, x, y))
+        if not collected:
+            return {}
+        vals = jax.device_get(collected)
+        return {f"eval_{k}": float(np.mean([v[k] for v in vals]))
+                for k in vals[0]}
 
     def save(self, epoch: int) -> str:
         cfg = self.cfg
@@ -305,7 +358,8 @@ class FinetuneTrainer:
 
 def run_finetune(cfg, loader, *, dim: int, n_class: int = 14,
                  policy: Policy = DEFAULT_POLICY, weight: Optional[str] = None,
-                 epochs: Optional[int] = None) -> FinetuneTrainer:
+                 epochs: Optional[int] = None,
+                 eval_loader=None) -> FinetuneTrainer:
     """Load → train → save (the driver-facing entry for ``--phase finetune``)."""
     if getattr(cfg, "resume", None):
         # finetune checkpoints are reference-schema .pt weights (no optimizer
@@ -328,6 +382,14 @@ def run_finetune(cfg, loader, *, dim: int, n_class: int = 14,
         stats = trainer.train_epoch(epoch, loader.epoch(epoch))
         print(f"epoch {epoch}, total time {time.time() - t0:.2f}, "
               f"loss {stats['loss']:.4f}")
+        if (eval_loader is not None and cfg.eval_every
+                and epoch % cfg.eval_every == 0):
+            # epoch(0): the held-out set in the SAME fixed order every pass,
+            # so the metric tracks the model, not the sample
+            ev = trainer.evaluate(eval_loader.epoch(0), cfg.eval_batches)
+            if ev:
+                trainer.logger.log({"epoch": epoch, **ev})
+                print(f"eval: {ev}")
         # same cadence contract as the pretask trainer: a long run killed
         # mid-way loses at most save_every epochs instead of everything
         if cfg.save_every and epoch % cfg.save_every == 0 and epoch < total:

@@ -247,9 +247,90 @@ def test_finetune_save_every_cadence(tmp_path):
                      "pcrlv2_chest_finetune_1.0_1.pt"]
 
 
+def test_finetune_evaluate_fixed_and_pure(tmp_path):
+    """evaluate(): deterministic across passes (no dropout, running BN
+    stats), touches no training state, returns eval_-keyed means."""
+    cfg = _cfg(tmp_path, d=2, n="chest")
+    trainer = FinetuneTrainer(cfg, dim=2, n_class=3)
+    batches = _synthetic_2d_batches(2, 2, n_class=3)
+    before = jax.device_get(trainer.state.params["fc"]["kernel"])
+    ev1 = trainer.evaluate(iter(batches))
+    ev2 = trainer.evaluate(iter(batches))
+    assert set(ev1) == {"eval_loss", "eval_acc"}
+    assert ev1 == ev2
+    assert np.isfinite(ev1["eval_loss"])
+    after = jax.device_get(trainer.state.params["fc"]["kernel"])
+    np.testing.assert_array_equal(before, after)
+    # max_batches caps the pass
+    ev_capped = trainer.evaluate(iter(batches), max_batches=1)
+    assert np.isfinite(ev_capped["eval_loss"])
+    assert trainer.evaluate(iter([])) == {}
+
+
 # ---------------------------------------------------------------------------
 # CLI dispatch
 # ---------------------------------------------------------------------------
+
+
+def test_cli_finetune_eval_every_synthetic(tmp_path):
+    """--eval_every wires a held-out pass into the finetune loop; eval_*
+    rows land in metrics.jsonl."""
+    import json
+
+    from pcrlv2_tpu.cli.main import main
+
+    out = tmp_path / "ft"
+    main(["--synthetic", "--d", "2", "--n", "chest", "--phase", "finetune",
+          "--b", "2", "--epochs", "1", "--steps_per_epoch", "2",
+          "--n_class", "3", "--eval_every", "1", "--eval_batches", "1",
+          "--output", str(out)])
+    rows = [json.loads(l) for l in open(out / "metrics.jsonl")]
+    evals = [r for r in rows if "eval_loss" in r]
+    assert len(evals) == 2  # epochs 0 and 1
+    assert all(np.isfinite(r["eval_loss"]) for r in evals)
+
+
+def test_cli_finetune_eval_loaders(tmp_path):
+    """The finetune loader builders expose the held-out splits when
+    --eval_every asks: luna valid folds 7-9; chest via chest_valid.txt."""
+    from PIL import Image
+
+    from pcrlv2_tpu.cli.main import DataGenerator, build_parser
+    from pcrlv2_tpu.data.pipeline import write_synthetic_luna_tree
+
+    tree = tmp_path / "luna"
+    uids = write_synthetic_luna_tree(str(tree), n_subsets=10,
+                                     uids_per_subset=1, pairs_per_uid=1)
+    lst = tmp_path / "luna_train.txt"
+    lst.write_text("\n".join(uids) + "\n")
+    args = build_parser().parse_args([
+        "--data", str(tree), "--train_list", str(lst), "--phase", "finetune",
+        "--b", "1", "--ratio", "0.5", "--workers", "1", "--eval_every", "1"])
+    loaders = DataGenerator(args).build("pcrlv2_luna_finetune")
+    assert loaders["eval"] is not None
+    batch = next(loaders["eval"].epoch(0))
+    assert batch["pair"].shape == (1, 2, 64, 64, 32)
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        Image.fromarray(rng.randint(0, 255, (64, 64), np.uint8), "L").save(
+            img_dir / f"x{i}.png")
+    (tmp_path / "chest_train.txt").write_text("".join(
+        f"x{i}.png" + " 0" * 14 + "\n" for i in range(2)))
+    (tmp_path / "chest_valid.txt").write_text("".join(
+        f"x{i}.png" + " 1" * 14 + "\n" for i in range(2, 4)))
+    args = build_parser().parse_args([
+        "--data", str(img_dir), "--train_list",
+        str(tmp_path / "chest_train.txt"), "--n", "chest", "--d", "2",
+        "--phase", "finetune", "--b", "2", "--workers", "1",
+        "--eval_every", "1"])
+    loaders = DataGenerator(args).build("pcrlv2_chest_finetune")
+    assert loaders["eval"] is not None
+    batch = next(loaders["eval"].epoch(0))
+    assert batch["label"].shape == (2, 14)
+    np.testing.assert_array_equal(batch["label"], np.ones((2, 14)))
 
 
 def test_cli_finetune_multihost_refused(tmp_path):
