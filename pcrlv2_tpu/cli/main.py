@@ -599,14 +599,11 @@ def main(argv=None) -> None:
             raise SystemExit(f"unsupported --d {args.d}")
         if args.spatial > 1:
             raise SystemExit("--phase finetune does not support --spatial")
-        if n_dev > 1:
-            print(f"WARNING: --phase finetune runs on ONE device; --gpus "
-                  f"selected {n_dev} (the extra devices will sit idle)")
         n_class = args.n_class if args.d == 2 else 1
         print(f"finetuning pcrlv2 {args.d}d (n_class={n_class})")
         run_finetune(cfg, loaders["train"], dim=args.d, n_class=n_class,
                      policy=policy, weight=args.weight,
-                     eval_loader=loaders.get("eval"))
+                     eval_loader=loaders.get("eval"), mesh=mesh)
     else:
         # reference behavior: any other combination silently does nothing
         # after building the dataloader (main.py:47-50) — be loud instead.

@@ -126,12 +126,25 @@ def create_finetune_state(model, tx, key, sample_batch, **apply_kwargs):
     )
 
 
+def _norm_images(images):
+    """Raw host batch → model input, INSIDE the jitted program: uint8 stays
+    uint8 over the host→device transfer (4× fewer bytes; 12× with the
+    single-channel cache) and the normalize/replicate fuses into the first
+    conv.  Also keeps a sharded batch sharded (elementwise + channel tile)."""
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) / 255.0
+    if images.shape[-1] == 1:
+        images = jnp.tile(images, (1, 1, 1, 3))
+    return images
+
+
 def make_finetune_step_2d(model, tx):
     """(state, images, labels, key, lr) → (state, metrics) — one program."""
 
     def loss_fn(params, batch_stats, images, labels, key):
         logits, mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats}, images,
+            {"params": params, "batch_stats": batch_stats},
+            _norm_images(images),
             train=True, mutable=["batch_stats"], rngs={"dropout": key})
         loss = bce_with_logits(logits, labels)
         acc = jnp.mean(((logits > 0) == (labels > 0.5)).astype(jnp.float32))
@@ -184,7 +197,7 @@ def make_finetune_eval_2d(model):
 
     def step(params, batch_stats, images, labels):
         logits = model.apply({"params": params, "batch_stats": batch_stats},
-                             images, train=False)
+                             _norm_images(images), train=False)
         loss = bce_with_logits(logits, labels)
         acc = jnp.mean(((logits > 0) == (labels > 0.5)).astype(jnp.float32))
         return {"loss": loss, "acc": acc}
@@ -220,10 +233,12 @@ class FinetuneTrainer:
     """
 
     def __init__(self, cfg, *, dim: int, n_class: int = 14,
-                 policy: Policy = DEFAULT_POLICY, weight: Optional[str] = None):
+                 policy: Policy = DEFAULT_POLICY, weight: Optional[str] = None,
+                 mesh=None):
         self.cfg = cfg
         self.dim = dim
         self.n_class = n_class
+        self.mesh = mesh  # data-axis DP: replicated state, sharded batches
         self.tx = sgd(momentum=cfg.momentum, weight_decay=cfg.weight_decay)
         key = jax.random.key(cfg.seed)
         if dim == 2:
@@ -254,6 +269,15 @@ class FinetuneTrainer:
             print("WARNING: finetuning FROM SCRATCH — pass --weight "
                   "<pretrained.pt> (ours or the reference's) for the "
                   "documented downstream recipe (README.md:29-55)")
+        if mesh is not None:
+            # replicate the train state once; the batch-sharded inputs make
+            # plain jit partition the step SPMD with an automatic gradient
+            # psum over the data axis — the nn.DataParallel analog, same as
+            # the pretask trainer (core/mesh.py)
+            from pcrlv2_tpu.core.mesh import replicated_sharding
+
+            self.state = jax.device_put(self.state,
+                                        replicated_sharding(mesh))
         os.makedirs(cfg.output, exist_ok=True)
         self.logger = MetricLogger(os.path.join(cfg.output, "metrics.jsonl"))
 
@@ -274,18 +298,26 @@ class FinetuneTrainer:
                 params=variables["params"],
                 batch_stats=variables["batch_stats"])
 
+    def _put(self, x):
+        """Host array → device; with a mesh, leading-dim sharded over
+        ``data``."""
+        if self.mesh is not None:
+            from pcrlv2_tpu.core.mesh import shard_batch
+
+            return shard_batch(self.mesh, x)
+        return jnp.asarray(x)
+
     def _prep(self, batch):
         """Host batch → (inputs, targets) device arrays (shared by the train
-        and eval paths)."""
+        and eval paths).  2D images transfer RAW (uint8 if cached) — the
+        normalize/replicate happens inside the jitted step."""
         if self.dim == 2:
-            images = jnp.asarray(batch["image"])
-            if images.dtype == jnp.uint8:
-                images = images.astype(jnp.float32) / 255.0
-            if images.shape[-1] == 1:
-                images = jnp.tile(images, (1, 1, 1, 3))
-            return images, jnp.asarray(batch["label"], jnp.float32)
-        vol = jnp.asarray(batch["pair"], jnp.float32)[:, 0][..., None]
-        masks = (jnp.asarray(batch["mask"], jnp.float32)
+            return (self._put(np.asarray(batch["image"])),
+                    self._put(np.asarray(batch["label"], np.float32)))
+        vol = self._put(
+            np.ascontiguousarray(np.asarray(batch["pair"],
+                                            np.float32)[:, 0][..., None]))
+        masks = (self._put(np.asarray(batch["mask"], np.float32))
                  if "mask" in batch else pseudo_mask(vol))
         return vol, masks
 
@@ -358,8 +390,8 @@ class FinetuneTrainer:
 
 def run_finetune(cfg, loader, *, dim: int, n_class: int = 14,
                  policy: Policy = DEFAULT_POLICY, weight: Optional[str] = None,
-                 epochs: Optional[int] = None,
-                 eval_loader=None) -> FinetuneTrainer:
+                 epochs: Optional[int] = None, eval_loader=None,
+                 mesh=None) -> FinetuneTrainer:
     """Load → train → save (the driver-facing entry for ``--phase finetune``)."""
     if getattr(cfg, "resume", None):
         # finetune checkpoints are reference-schema .pt weights (no optimizer
@@ -375,7 +407,7 @@ def run_finetune(cfg, loader, *, dim: int, n_class: int = 14,
         from pcrlv2_tpu.utils import chiplock
         chip_lock = chiplock.guard_warn(f"finetune d={dim} n={cfg.n}")
     trainer = FinetuneTrainer(cfg, dim=dim, n_class=n_class, policy=policy,
-                              weight=weight)
+                              weight=weight, mesh=mesh)
     total = cfg.epochs if epochs is None else epochs
     for epoch in range(total + 1):
         t0 = time.time()

@@ -247,6 +247,55 @@ def test_finetune_save_every_cadence(tmp_path):
                      "pcrlv2_chest_finetune_1.0_1.pt"]
 
 
+def test_finetune_2d_dp_mesh_parity(tmp_path):
+    """Data-parallel finetune (replicated state + batch-sharded inputs under
+    plain jit, gradient psum inserted by XLA) matches the single-device run
+    leaf-for-leaf — the nn.DataParallel analog extended to the finetune
+    phase."""
+    from pcrlv2_tpu.core.mesh import DATA_AXIS, create_mesh
+    from pcrlv2_tpu.core.precision import PARITY_POLICY
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices (virtual CPU mesh)")
+    batches = _synthetic_2d_batches(8, 2, n_class=3)
+
+    # lr 1e-4: SGD amplifies reduction-order float noise chaotically with
+    # lr (same reason the 2D trajectory-parity pins at 1e-4 — see
+    # tests/test_train2d_parity.py); at 1e-2 the sharded/unsharded runs
+    # drift to ~2e-4 after two steps from bit-level reassociation alone
+    cfg1 = _cfg(tmp_path, d=2, n="chest", b=8, lr=1e-4)
+    ref = FinetuneTrainer(cfg1, dim=2, n_class=3, policy=PARITY_POLICY)
+    cfg2 = _cfg(tmp_path, d=2, n="chest", b=8, lr=1e-4,
+                output=str(tmp_path / "out_dp"))
+    mesh = create_mesh((DATA_AXIS,), shape=(4,), devices=jax.devices()[:4])
+    dp = FinetuneTrainer(cfg2, dim=2, n_class=3, policy=PARITY_POLICY,
+                         mesh=mesh)
+
+    s1 = ref.train_epoch(0, iter(batches))
+    s2 = dp.train_epoch(0, iter(batches))
+    assert abs(s1["loss"] - s2["loss"]) < 1e-4
+    for g, w in zip(jax.tree.leaves(ref.state.params),
+                    jax.tree.leaves(dp.state.params)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-4, atol=1e-5)
+    e1 = ref.evaluate(iter(batches))
+    e2 = dp.evaluate(iter(batches))
+    assert abs(e1["eval_loss"] - e2["eval_loss"]) < 1e-4
+
+
+def test_cli_finetune_dp_synthetic(tmp_path):
+    """--gpus N engages the data mesh for the finetune phase end-to-end."""
+    from pcrlv2_tpu.cli.main import main
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices (virtual CPU mesh)")
+    out = tmp_path / "ftdp"
+    main(["--synthetic", "--d", "2", "--n", "chest", "--phase", "finetune",
+          "--b", "4", "--epochs", "0", "--steps_per_epoch", "1",
+          "--n_class", "3", "--gpus", "0,1", "--output", str(out)])
+    assert [f for f in os.listdir(out) if f.endswith(".pt")]
+
+
 def test_finetune_evaluate_fixed_and_pure(tmp_path):
     """evaluate(): deterministic across passes (no dropout, running BN
     stats), touches no training state, returns eval_-keyed means."""
