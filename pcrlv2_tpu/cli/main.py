@@ -77,6 +77,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "the reference's): 2D loads the encoder with "
                              "the fc.* patch (README.md:40-44), 3D loads the "
                              "full PCRLv23d (README.md:50-54)")
+    parser.add_argument("--mask_dir", default=None, metavar="DIR",
+                        help="3D finetune: segmentation mask tree mirroring "
+                             "the processed crop tree (subset{i}/"
+                             "{uid}_mask_{k}.npy; pass the --data root "
+                             "itself when masks live beside the crops). "
+                             "Without it the 3D finetune target falls back "
+                             "to the documented intensity-threshold "
+                             "pseudo-mask placeholder")
     parser.add_argument("--n_class", default=14, type=int,
                         help="finetune classes: 2D classifier labels "
                              "(14 = NIH ChestX-ray), 3D segmentation "
@@ -181,6 +189,62 @@ def _shard_for_process(args, *lists):
                         for lst in lists)
 
 
+def _detect_chest_canvas(names, output_dir: str) -> int:
+    """Max source dimension over the chest list, with a sidecar cache.
+
+    The scan opens every file (header read only) — measured ~0.1 ms/file on
+    local disk, i.e. ~10 s cold at the 78k-image NIH scale and potentially
+    minutes on networked storage.  The detected canvas is persisted as
+    ``chest_canvas.<hash>.json`` in the run dir, keyed by a hash of the
+    exact name list, so repeat launches (same output dir + same list) cost
+    one stat instead of a full rescan; a changed list changes the key.
+    """
+    import hashlib
+    import json
+    import time
+
+    tag = hashlib.blake2s("\n".join(names).encode(),
+                          digest_size=8).hexdigest()
+    sidecar = os.path.join(output_dir, f"chest_canvas.{tag}.json")
+    try:
+        with open(sidecar) as f:
+            cached = json.load(f)
+        canvas = int(cached["canvas"])
+        print(f"==> chest canvas {canvas} from cache {sidecar} "
+              f"({cached.get('n_sources', '?')} sources; delete the "
+              f"sidecar to force a rescan)")
+        return canvas
+    except (OSError, ValueError, KeyError):
+        pass
+    from PIL import Image
+
+    t0 = time.time()
+    sizes = set()
+    for name in names:
+        with Image.open(name) as im:  # header read only — cheap
+            sizes.add(max(im.size))
+    dt = time.time() - t0
+    canvas = max(sizes)
+    note = (f" (sources disagree: {sorted(sizes)} — using the max "
+            "so nothing is downsampled)"
+            if len(sizes) > 1 else "")
+    print(f"==> chest canvas auto-detected from {len(names)} "
+          f"sources in {dt:.1f}s, {len(sizes)} distinct size(s): "
+          f"{canvas}{note} (native; pass --chest_canvas 512 for the "
+          f"reduced-resolution fast mode)")
+    tmp = f"{sidecar}.tmp.{os.getpid()}"
+    try:  # atomic write: concurrent multi-host processes race benignly
+        with open(tmp, "w") as f:
+            json.dump({"canvas": canvas, "n_sources": len(names),
+                       "scan_seconds": round(dt, 2),
+                       "distinct_sizes": sorted(sizes)}, f)
+        os.replace(tmp, sidecar)
+    except OSError:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return canvas
+
+
 class DataGenerator:
     """Per-(dataset, phase) loader builders (reference ``data.py:9-99``).
 
@@ -260,9 +324,12 @@ class DataGenerator:
         train = HostLoader(x_train, args.b, read_fn,
                            shuffle=True, seed=args.seed,
                            num_workers=args.workers, batch_read_fn=batch_read)
+        # drop_last=False: eval batches need not be uniform, and dropping the
+        # ragged tail would silently exclude up to b-1 held-out samples (or
+        # ALL of them when the fold is smaller than --b)
         evaluate = (HostLoader(x_valid, args.b, read_fn,
                                shuffle=False, seed=args.seed,
-                               num_workers=args.workers)
+                               num_workers=args.workers, drop_last=False)
                     if x_valid else None)
         return {"train": train, "eval": evaluate}
 
@@ -287,22 +354,12 @@ class DataGenerator:
             # from the UNSHARDED list (every multi-host process must agree on
             # the batch shape or global-array assembly breaks) over EVERY
             # image — a sample could miss a larger source later in the list
-            # and silently downsample it; PIL's open reads only the header,
-            # so the full scan is one cheap stat+read per file, once per run
-            from PIL import Image
-
-            sizes = set()
-            for name in names:
-                with Image.open(name) as im:  # header read only — cheap
-                    sizes.add(max(im.size))
-            canvas = max(sizes)
-            note = (f" (sources disagree: {sorted(sizes)} — using the max "
-                    "so nothing is downsampled)"
-                    if len(sizes) > 1 else "")
-            print(f"==> chest canvas auto-detected from {len(names)} "
-                  f"sources, {len(sizes)} distinct size(s): {canvas}{note} "
-                  f"(native; pass --chest_canvas 512 for the "
-                  f"reduced-resolution fast mode)")
+            # and silently downsample it.  PIL's open reads only the header,
+            # but ~78k serial opens at NIH scale is minutes of launch cost —
+            # so the result is persisted in a sidecar keyed by a hash of the
+            # name list; every later run (and every other multi-host
+            # process) skips the scan entirely.
+            canvas = _detect_chest_canvas(names, args.output)
         args, (names,) = _shard_for_process(args, names)
         cache = getattr(args, "chest_cache", "auto")
         if cache and cache != "off":
@@ -325,19 +382,22 @@ class DataGenerator:
         # fixed PRNG key per batch index, Trainer.evaluate).
         evaluate = HostLoader(names, args.b, read,
                               shuffle=False, seed=args.seed,
-                              num_workers=args.workers)
+                              num_workers=args.workers, drop_last=False)
         return {"train": train, "eval": evaluate}
 
 
     def pcrlv2_luna_finetune(self):
         """3D finetune loader: the COMPLEMENT of the pretrain UID split
         (reference ``utils.py:30-35`` exists exactly for this phase) over the
-        same processed crop tree.  Masks: none ship with the reference repo,
-        so the trainer derives intensity-threshold pseudo-masks (documented
+        same processed crop tree.  Masks: ``--mask_dir`` loads real
+        segmentation GT from a tree mirroring the crops (the reference
+        world's downstream task, reference ``README.md:50-55``); without it
+        the trainer derives intensity-threshold pseudo-masks (documented
         placeholder, ``train/finetune.py``)."""
         from pcrlv2_tpu.data.manifests import (get_luna_finetune_list,
                                                get_luna_list)
-        from pcrlv2_tpu.data.pipeline import HostLoader, load_luna_sample
+        from pcrlv2_tpu.data.pipeline import (HostLoader, load_luna_sample,
+                                              make_luna_mask_reader)
 
         args = self.args
         if not os.path.exists(args.train_list):
@@ -360,10 +420,22 @@ class DataGenerator:
             msg += f", validation images {len(x_valid)}"
         print(msg)
         args, (x_train,) = _shard_for_process(args, x_train)
-        train = HostLoader(x_train, args.b, load_luna_sample, shuffle=True,
+        mask_dir = getattr(args, "mask_dir", None)
+        if mask_dir:
+            if not os.path.isdir(mask_dir):
+                raise SystemExit(f"--mask_dir not found: {mask_dir}")
+            read_fn = make_luna_mask_reader(args.data, mask_dir)
+            print(f"==> 3D finetune against REAL masks from {mask_dir}")
+        else:
+            read_fn = load_luna_sample
+            print("==> 3D finetune against intensity-threshold pseudo-masks "
+                  "(documented placeholder; pass --mask_dir <tree> for real "
+                  "segmentation GT)")
+        train = HostLoader(x_train, args.b, read_fn, shuffle=True,
                            seed=args.seed, num_workers=args.workers)
-        evald = (HostLoader(x_valid, args.b, load_luna_sample, shuffle=False,
-                            seed=args.seed, num_workers=args.workers)
+        evald = (HostLoader(x_valid, args.b, read_fn, shuffle=False,
+                            seed=args.seed, num_workers=args.workers,
+                            drop_last=False)
                  if x_valid else None)
         return {"train": train, "eval": evald}
 
@@ -413,7 +485,8 @@ class DataGenerator:
                     return {**base(path), "label": vlabel_of[path]}
 
                 evald = HostLoader(vnames, args.b, vread, shuffle=False,
-                                   seed=args.seed, num_workers=args.workers)
+                                   seed=args.seed, num_workers=args.workers,
+                                   drop_last=False)
             else:
                 print(f"WARNING: --eval_every set but {vtxt} not found — "
                       "finetune runs without an eval pass")

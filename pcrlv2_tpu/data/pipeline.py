@@ -45,6 +45,49 @@ def load_luna_sample(global_path: str, dtype=np.float32) -> dict:
             "locals": np.asarray(local, dtype)}
 
 
+def mask_path_for(global_path: str, mask_dir: str, data_root: str) -> str:
+    """``--mask_dir`` convention: a tree mirroring the processed crop tree
+    (``subset{i}/…``) with ``_global_`` → ``_mask_`` in the filename.
+    Passing the data root itself as ``mask_dir`` therefore means "masks
+    live beside the crops"."""
+    rel = os.path.relpath(global_path, data_root)
+    return os.path.join(mask_dir, rel.replace("_global_", "_mask_"))
+
+
+def make_luna_mask_reader(data_root: str, mask_dir: str,
+                          dtype=np.float32) -> Callable[[str], dict]:
+    """Sample reader for 3D finetune against REAL segmentation masks.
+
+    The reference world's downstream task is segmentation against real GT
+    (reference ``README.md:50-55``) but no masks ship with the repo; this
+    reader makes the path real the day they exist: each crop's mask loads
+    from the ``--mask_dir`` tree (see :func:`mask_path_for`) and rides the
+    batch as ``mask`` — ``FinetuneTrainer._prep`` already prefers it over
+    the intensity-threshold ``pseudo_mask`` fallback.
+
+    Mask files hold either ``(2, X, Y, Z)`` (one mask per crop of the pair,
+    matching the ``_global_`` layout) or ``(X, Y, Z)``; the trainer consumes
+    crop 0, channel-last.
+    """
+
+    def read(global_path: str) -> dict:
+        sample = load_luna_sample(global_path, dtype)
+        mpath = mask_path_for(global_path, mask_dir, data_root)
+        try:
+            mask = np.load(mpath)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"--mask_dir: no mask for {global_path} "
+                f"(expected {mpath}; the mask tree must mirror the crop "
+                "tree with _global_ → _mask_)") from None
+        if mask.ndim == 4:  # (2, X, Y, Z): mask per crop of the pair
+            mask = mask[0]
+        sample["mask"] = np.asarray(mask, np.float32)[..., None]
+        return sample
+
+    return read
+
+
 def load_chest_sample(image_path: str, canvas: int = 512) -> dict:
     """Decode a chest X-ray onto a fixed square canvas, uint8.
 
@@ -296,6 +339,102 @@ def synthetic_chest_batch(batch_size: int = 64, canvas: int = 512, seed: int = 0
     return {
         "image": rng.rand(batch_size, canvas, canvas, 3).astype(np.float32),
     }
+
+
+def _structured_phantom(rng: np.random.RandomState, shape=(80, 80, 48)):
+    """One blob/stripe phantom volume + its blob mask.
+
+    Construction (all [0,1] intensities, like the HU-normalized crops):
+
+    * background — smooth low-frequency noise around 0.15 (coarse grid,
+      nearest-upsampled; cheap and featureless).
+    * **blobs** (the segmentation foreground): 2–5 Gaussian bumps, random
+      centers/σ∈[3,7]/amplitude∈[0.5,0.8].  ``mask`` = voxels where the
+      summed blob field exceeds 0.25.
+    * **distractor stripes** (NOT in the mask): 1–2 bright axis-aligned
+      slabs at blob-like intensity.  These make the task *structural*:
+      thresholding the input lights up both blobs and stripes, so a model
+      must learn shape — a pure intensity rule cannot reach high Dice.
+      (That is exactly the vacuity the round-4 ``pseudo_mask`` task had.)
+    """
+    X, Y, Z = shape
+    coarse = rng.rand(X // 8, Y // 8, Z // 8).astype(np.float32)
+    bg = 0.1 + 0.1 * np.repeat(np.repeat(np.repeat(coarse, 8, 0), 8, 1), 8, 2)
+    xs, ys, zs = np.meshgrid(np.arange(X), np.arange(Y), np.arange(Z),
+                             indexing="ij")
+    blob_field = np.zeros(shape, np.float32)
+    for _ in range(rng.randint(2, 6)):
+        cx, cy, cz = (rng.uniform(8, X - 8), rng.uniform(8, Y - 8),
+                      rng.uniform(6, Z - 6))
+        sigma = rng.uniform(3.0, 7.0)
+        amp = rng.uniform(0.5, 0.8)
+        d2 = (xs - cx) ** 2 + (ys - cy) ** 2 + (zs - cz) ** 2
+        blob_field += amp * np.exp(-d2 / (2 * sigma * sigma)).astype(np.float32)
+    mask = (blob_field > 0.25).astype(np.float32)
+    vol = bg + blob_field
+    for _ in range(rng.randint(1, 3)):
+        axis = rng.randint(0, 3)
+        pos = rng.randint(4, shape[axis] - 4)
+        thick = rng.randint(2, 4)
+        sl = [slice(None)] * 3
+        sl[axis] = slice(pos, pos + thick)
+        vol[tuple(sl)] += rng.uniform(0.5, 0.8)
+    return np.clip(vol, 0.0, 1.0).astype(np.float32), mask
+
+
+def write_structured_luna_tree(root: str, n_subsets: int = 10,
+                               uids_per_subset: int = 2,
+                               pairs_per_uid: int = 2, seed: int = 0,
+                               size=(64, 64, 32), local=(16, 16, 16),
+                               n_views: int = 6) -> List[str]:
+    """A processed-LUNA-layout tree of STRUCTURED phantoms with matched
+    segmentation masks — the learnable synthetic task for pretrained-vs-
+    from-scratch ablations (real LUNA16 is env-blocked).
+
+    Layout matches ``luna_preprocess.py`` output exactly, plus masks:
+    ``subset{i}/{uid}_global_{k}.npy`` (2, 64, 64, 32) — two overlapping
+    crops of one phantom (the pretask pair), ``{uid}_local_{k}.npy``
+    (6, 16, 16, 16), and ``{uid}_mask_{k}.npy`` (2, 64, 64, 32) — the blob
+    mask for each crop (consumed via ``--mask_dir``, :func:`mask_path_for`).
+    """
+    rng = np.random.RandomState(seed)
+    X, Y, Z = size
+    uids = []
+    for s in range(n_subsets):
+        d = os.path.join(root, f"subset{s}")
+        os.makedirs(d, exist_ok=True)
+        for u in range(uids_per_subset):
+            uid = f"1.2.{s}.{u}"
+            uids.append(uid)
+            for k in range(pairs_per_uid):
+                vol, mask = _structured_phantom(rng)
+                # two overlapping crops of the same phantom (the IoU>0.3
+                # pair analog, luna_preprocess.py:186-191)
+                crops, mcrops = [], []
+                base = [rng.randint(0, vol.shape[i] - size[i] - 8)
+                        for i in range(3)]
+                for _ in range(2):
+                    off = [min(b + rng.randint(0, 9),
+                               vol.shape[i] - size[i])
+                           for i, b in enumerate(base)]
+                    sl = tuple(slice(o, o + size[i])
+                               for i, o in enumerate(off))
+                    crops.append(vol[sl])
+                    mcrops.append(mask[sl])
+                np.save(os.path.join(d, f"{uid}_global_{k}.npy"),
+                        np.stack(crops))
+                np.save(os.path.join(d, f"{uid}_mask_{k}.npy"),
+                        np.stack(mcrops))
+                locs = []
+                for _ in range(n_views):
+                    off = [rng.randint(0, size[i] - local[i])
+                           for i in range(3)]
+                    sl = tuple(slice(o, o + local[i])
+                               for i, o in enumerate(off))
+                    locs.append(crops[0][sl])
+                np.save(os.path.join(d, f"{uid}_local_{k}.npy"),
+                        np.stack(locs))
+    return uids
 
 
 def write_synthetic_luna_tree(root: str, n_subsets: int = 10,

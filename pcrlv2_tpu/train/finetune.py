@@ -105,6 +105,40 @@ def pseudo_mask(volume, threshold: float = 0.5):
     return (volume > threshold).astype(jnp.float32)
 
 
+def mean_roc_auc(scores, labels) -> float:
+    """Mean per-class ROC-AUC — the field's metric for NIH ChestX-ray14
+    multi-label classification (and the PCRLv2 paper's, arXiv:2301.00772).
+
+    Rank-based (Mann-Whitney U) with tie-averaged ranks, pure NumPy.
+    Classes with no positives or no negatives in the evaluated set are
+    skipped (AUC is undefined there); returns NaN when no class is
+    scoreable.  Thresholded accuracy is NOT a substitute on this heavily
+    imbalanced task (all-negative predictions score ~0.9 accuracy).
+    """
+    scores = np.asarray(scores, np.float64)
+    labels = np.asarray(labels) > 0.5
+    n = scores.shape[0]
+    aucs = []
+    for c in range(scores.shape[1]):
+        y = labels[:, c]
+        n_pos = int(y.sum())
+        n_neg = n - n_pos
+        if n_pos == 0 or n_neg == 0:
+            continue
+        s = scores[:, c]
+        order = np.argsort(s, kind="mergesort")
+        # tie-averaged ranks: each run of equal scores gets its mean rank
+        _, inv, counts = np.unique(s[order], return_inverse=True,
+                                   return_counts=True)
+        cum = np.cumsum(counts)
+        mean_rank_of_unique = (cum - counts + 1 + cum) / 2.0
+        ranks = np.empty(n, np.float64)
+        ranks[order] = mean_rank_of_unique[inv]
+        aucs.append((ranks[y].sum() - n_pos * (n_pos + 1) / 2.0)
+                    / (n_pos * n_neg))
+    return float(np.mean(aucs)) if aucs else float("nan")
+
+
 # ---------------------------------------------------------------------------
 # jitted steps
 # ---------------------------------------------------------------------------
@@ -200,7 +234,10 @@ def make_finetune_eval_2d(model):
                              _norm_images(images), train=False)
         loss = bce_with_logits(logits, labels)
         acc = jnp.mean(((logits > 0) == (labels > 0.5)).astype(jnp.float32))
-        return {"loss": loss, "acc": acc}
+        # logits ride back to host so evaluate() can compute per-class
+        # ROC-AUC over the WHOLE eval set (AUC does not decompose into
+        # per-batch means) — B×n_class floats, negligible transfer
+        return {"loss": loss, "acc": acc, "logits": logits}
 
     return step
 
@@ -298,26 +335,28 @@ class FinetuneTrainer:
                 params=variables["params"],
                 batch_stats=variables["batch_stats"])
 
-    def _put(self, x):
+    def _put(self, x, sharded: bool = True):
         """Host array → device; with a mesh, leading-dim sharded over
-        ``data``."""
-        if self.mesh is not None:
+        ``data`` (``sharded=False`` for ragged eval tail batches that do not
+        divide the data axis — plain put, jit handles the odd shape)."""
+        if self.mesh is not None and sharded:
             from pcrlv2_tpu.core.mesh import shard_batch
 
             return shard_batch(self.mesh, x)
         return jnp.asarray(x)
 
-    def _prep(self, batch):
+    def _prep(self, batch, sharded: bool = True):
         """Host batch → (inputs, targets) device arrays (shared by the train
         and eval paths).  2D images transfer RAW (uint8 if cached) — the
         normalize/replicate happens inside the jitted step."""
         if self.dim == 2:
-            return (self._put(np.asarray(batch["image"])),
-                    self._put(np.asarray(batch["label"], np.float32)))
+            return (self._put(np.asarray(batch["image"]), sharded),
+                    self._put(np.asarray(batch["label"], np.float32), sharded))
         vol = self._put(
             np.ascontiguousarray(np.asarray(batch["pair"],
-                                            np.float32)[:, 0][..., None]))
-        masks = (self._put(np.asarray(batch["mask"], np.float32))
+                                            np.float32)[:, 0][..., None]),
+            sharded)
+        masks = (self._put(np.asarray(batch["mask"], np.float32), sharded)
                  if "mask" in batch else pseudo_mask(vol))
         return vol, masks
 
@@ -352,19 +391,50 @@ class FinetuneTrainer:
 
     def evaluate(self, batch_iter, max_batches: int = 0) -> dict:
         """Fixed-order eval pass (no dropout, running BN statistics, no
-        state mutation) → mean metrics keyed ``eval_*``."""
-        collected = []
+        state mutation) → metrics keyed ``eval_*``.
+
+        Scalar metrics are batch-size-weighted means (eval loaders run
+        ``drop_last=False``, so the tail batch may be ragged); 2D also
+        reports ``eval_auc`` — mean per-class ROC-AUC over the WHOLE
+        evaluated set, computed host-side from the collected logits
+        (``mean_roc_auc``), the task's actual metric.
+        """
+        collected = []   # (batch_size, device metrics)
+        labels_all = []  # host labels for the 2D AUC
+        multihost = jax.process_count() > 1
+        data_size = 1
+        if self.mesh is not None:
+            from pcrlv2_tpu.core.mesh import DATA_AXIS
+
+            data_size = self.mesh.shape.get(DATA_AXIS, 1)
         for i, batch in enumerate(batch_iter):
             if max_batches and i >= max_batches:
                 break
-            x, y = self._prep(batch)
-            collected.append(self._eval_step(self.state.params,
-                                             self.state.batch_stats, x, y))
+            bsz = int(jax.tree.leaves(batch)[0].shape[0])
+            ragged = data_size > 1 and bsz % data_size != 0
+            if ragged and multihost:
+                print(f"WARNING: eval tail batch of {bsz} samples skipped "
+                      f"(not divisible by the data axis {data_size} under "
+                      f"multihost sharding)")
+                continue
+            x, y = self._prep(batch, sharded=not ragged)
+            collected.append((bsz, self._eval_step(
+                self.state.params, self.state.batch_stats, x, y)))
+            if self.dim == 2:
+                labels_all.append(np.asarray(batch["label"], np.float32))
         if not collected:
             return {}
-        vals = jax.device_get(collected)
-        return {f"eval_{k}": float(np.mean([v[k] for v in vals]))
-                for k in vals[0]}
+        vals = jax.device_get([m for _, m in collected])
+        weights = np.asarray([b for b, _ in collected], np.float64)
+        out = {f"eval_{k}": float(np.average([v[k] for v in vals],
+                                             weights=weights))
+               for k in vals[0] if k != "logits"}
+        if self.dim == 2 and "logits" in vals[0]:
+            auc = mean_roc_auc(np.concatenate([v["logits"] for v in vals]),
+                               np.concatenate(labels_all))
+            if np.isfinite(auc):
+                out["eval_auc"] = auc
+        return out
 
     def save(self, epoch: int) -> str:
         cfg = self.cfg

@@ -200,11 +200,26 @@ class Trainer:
         if self._eval_fn is None:
             self._eval_fn = self._build_eval_fn()
         multihost = jax.process_count() > 1
+        data_size = (self.mesh.shape.get(mesh_lib.DATA_AXIS, 1)
+                     if self.mesh is not None else 1)
         meters = {k: AverageMeter() for k in
                   ("loss", "mg_loss", "cos_loss", "local_loss")}
         for i, batch in enumerate(batch_iter):
             if max_batches and i >= max_batches:
                 break
+            # eval loaders run drop_last=False so the held-out metric sees
+            # every sample; a ragged tail batch may not divide the mesh's
+            # data axis — single-host falls back to an unsharded put (one
+            # extra compile for the tail shape), multihost/spatial skips it
+            # loudly (global-array assembly needs divisibility)
+            bsz_raw = int(jax.tree.leaves(batch)[0].shape[0])
+            ragged = data_size > 1 and bsz_raw % data_size != 0
+            if ragged and (multihost or self._shard_views is not None):
+                print(f"WARNING: eval tail batch of {bsz_raw} samples "
+                      f"skipped (not divisible by the data axis "
+                      f"{data_size} under "
+                      f"{'multihost' if multihost else 'spatial'} sharding)")
+                continue
             if self.dim == 2:
                 if self._aug_fn is None:
                     raise ValueError("2D eval needs the augmentation fn")
@@ -217,7 +232,8 @@ class Trainer:
                                                  jax.device_get(views))
             else:
                 views = self.raw_batch_to_views(batch, self.dim)
-                if self._shard_views is None and self.mesh is not None:
+                if self._shard_views is None and self.mesh is not None \
+                        and not ragged:
                     views = mesh_lib.shard_batch(self.mesh, views)
             if self._shard_views is not None:
                 views = self._shard_views(views)

@@ -49,23 +49,34 @@ class ChipLock:
 
 
 def acquire(label: str, path: Optional[str] = None) -> Optional[ChipLock]:
-    """Try to take the chip lock. Returns a ``ChipLock`` or ``None`` if some
-    other process currently holds it (use :func:`holder_info` to say who)."""
+    """Try to take the chip lock. Returns a ``ChipLock`` or ``None`` if it
+    cannot be taken (use :func:`acquire_ex` to learn why)."""
+    return acquire_ex(label, path)[0]
+
+
+def acquire_ex(label: str, path: Optional[str] = None
+               ) -> tuple[Optional[ChipLock], str]:
+    """Like :func:`acquire` but also reports WHY acquisition failed:
+    ``"contended"`` (another live process holds the flock — the chip really
+    is busy) vs ``"open-failed: …"`` (the lock FILE could not be opened,
+    e.g. an existing 0o644 file owned by another user in sticky /tmp — the
+    chip may well be free; fix/remove the file).  Conflating the two sends
+    the operator hunting for a phantom job."""
     path = path or LOCK_PATH
     try:
         # 0o666 (pre-umask) so a lock file created by one user doesn't turn
         # another user's guard into a PermissionError crash; if the open
         # still fails (e.g. an existing 0o644 file owned by someone else in
-        # sticky /tmp), report "can't acquire" and let the callers do their
+        # sticky /tmp), report "open-failed" and let the callers do their
         # designed refuse/warn instead of dying on a raw traceback
         fd = os.open(path, os.O_RDWR | os.O_CREAT, 0o666)
-    except OSError:
-        return None
+    except OSError as e:
+        return None, f"open-failed: {e}"
     try:
         fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
     except OSError:
         os.close(fd)
-        return None
+        return None, "contended"
     meta = json.dumps({"pid": os.getpid(), "label": label,
                        "since": time.time()}) + "\n"
     try:
@@ -73,7 +84,7 @@ def acquire(label: str, path: Optional[str] = None) -> Optional[ChipLock]:
         os.pwrite(fd, meta.encode(), 0)
     except OSError:
         pass  # metadata is diagnostics only; the flock itself is held
-    return ChipLock(fd, path, label)
+    return ChipLock(fd, path, label), ""
 
 
 def holder_info(path: Optional[str] = None) -> dict:
@@ -96,8 +107,16 @@ def guard_exclusive(label: str, path: Optional[str] = None) -> ChipLock:
     if os.environ.get("PCRL_IGNORE_CHIP_LOCK") == "1":
         return ChipLock(os.open(os.devnull, os.O_RDONLY), path or LOCK_PATH,
                         label)
-    lock = acquire(label, path)
+    lock, why = acquire_ex(label, path)
     if lock is None:
+        if why.startswith("open-failed"):
+            raise SystemExit(
+                f"REFUSING to run '{label}': could not open the TPU chip "
+                f"lock file {path or LOCK_PATH} ({why}) — the chip may be "
+                "free; fix or remove that file (likely owned by another "
+                "user with restrictive permissions), or point "
+                "PCRL_CHIP_LOCK at a writable path. To skip the guard "
+                "entirely set PCRL_IGNORE_CHIP_LOCK=1.")
         info = holder_info(path)
         raise SystemExit(
             f"REFUSING to run '{label}': the TPU chip lock "
@@ -113,11 +132,17 @@ def guard_warn(label: str, path: Optional[str] = None) -> Optional[ChipLock]:
     """Acquire or warn: for trainers, where contention is a user decision.
     Returns the lock when acquired, ``None`` (plus a loud warning) when
     another process holds the chip."""
-    lock = acquire(label, path)
+    lock, why = acquire_ex(label, path)
     if lock is None:
-        info = holder_info(path)
-        print(f"WARNING: TPU chip lock {path or LOCK_PATH} is held by "
-              f"{info or 'another process'} — this run will serialize with "
-              "it on the single chip and BOTH jobs' timings will be garbage.",
-              flush=True)
+        if why.startswith("open-failed"):
+            print(f"WARNING: could not open the TPU chip lock file "
+                  f"{path or LOCK_PATH} ({why}) — running UNGUARDED; the "
+                  "chip may be free, but fix/remove that file so the "
+                  "contention guard works again.", flush=True)
+        else:
+            info = holder_info(path)
+            print(f"WARNING: TPU chip lock {path or LOCK_PATH} is held by "
+                  f"{info or 'another process'} — this run will serialize "
+                  "with it on the single chip and BOTH jobs' timings will "
+                  "be garbage.", flush=True)
     return lock

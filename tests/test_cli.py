@@ -285,6 +285,48 @@ def test_chest_canvas_scans_every_source(tmp_path):
     assert batch["image"].shape == (12, 128, 128, 1)
 
 
+def test_chest_canvas_sidecar_cache(tmp_path):
+    """The canvas auto-scan persists its result: a second launch with the
+    same list + output dir reads the sidecar instead of re-opening every
+    source (proven by editing the cached value and seeing the edit take
+    effect — only a cache read could produce it)."""
+    import glob
+    import json
+
+    from PIL import Image
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    out = tmp_path / "out"
+    out.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 255, (64, 64), np.uint8), "L").save(
+            img_dir / f"x{i}.png")
+    lst = tmp_path / "chest_train.txt"
+    lst.write_text("".join(f"x{i}.png" + " 0" * 14 + "\n" for i in range(3)))
+    argv = ["--n", "chest", "--d", "2", "--data", str(img_dir),
+            "--train_list", str(lst), "--b", "2", "--ratio", "1.0",
+            "--workers", "1", "--chest_cache", "off", "--output", str(out)]
+    args = build_parser().parse_args(argv)
+    loaders = DataGenerator(args).build("pcrlv2_chest_pretask")
+    assert next(loaders["train"].epoch(0))["image"].shape == (2, 64, 64, 1)
+    sidecars = glob.glob(str(out / "chest_canvas.*.json"))
+    assert len(sidecars) == 1
+    assert json.load(open(sidecars[0]))["canvas"] == 64
+    # poison the sidecar; a rebuild must use the cached (edited) value
+    json.dump({"canvas": 48, "n_sources": 3}, open(sidecars[0], "w"))
+    args = build_parser().parse_args(argv)
+    loaders = DataGenerator(args).build("pcrlv2_chest_pretask")
+    assert next(loaders["train"].epoch(0))["image"].shape == (2, 48, 48, 1)
+    # a DIFFERENT list keys a different sidecar → fresh scan
+    lst.write_text("".join(f"x{i}.png" + " 0" * 14 + "\n" for i in range(2)))
+    args = build_parser().parse_args(argv)
+    loaders = DataGenerator(args).build("pcrlv2_chest_pretask")
+    assert next(loaders["train"].epoch(0))["image"].shape == (2, 64, 64, 1)
+    assert len(glob.glob(str(out / "chest_canvas.*.json"))) == 2
+
+
 def test_chest_decode_cache_round_trip(tmp_path):
     """CachedChestReader: first call decodes + writes the raw uint8 array,
     second call loads it byte-identically; a torn cache file re-decodes."""

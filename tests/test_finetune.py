@@ -200,6 +200,64 @@ def test_finetune_3d_explicit_masks(tmp_path):
     assert np.isfinite(stats["loss"])
 
 
+def test_finetune_3d_file_masks_end_to_end(tmp_path):
+    """--mask_dir: the CLI loader reads real masks from the mirrored tree
+    (structured phantom GT, not derivable from intensity thresholding) and
+    the trainer consumes them end-to-end — the reference world's downstream
+    segmentation-with-GT recipe (README.md:50-55)."""
+    from pcrlv2_tpu.cli.main import DataGenerator, build_parser
+    from pcrlv2_tpu.data.pipeline import (mask_path_for,
+                                          write_structured_luna_tree)
+
+    tree = tmp_path / "luna"
+    uids = write_structured_luna_tree(str(tree), n_subsets=10,
+                                      uids_per_subset=1, pairs_per_uid=1)
+    lst = tmp_path / "luna_train.txt"
+    lst.write_text("\n".join(uids) + "\n")
+    args = build_parser().parse_args([
+        "--data", str(tree), "--train_list", str(lst), "--phase", "finetune",
+        "--b", "2", "--ratio", "0.5", "--workers", "1",
+        "--mask_dir", str(tree)])
+    loaders = DataGenerator(args).build("pcrlv2_luna_finetune")
+    batch = next(loaders["train"].epoch(0))
+    assert batch["mask"].shape == (2, 64, 64, 32, 1)
+    # the loaded masks are the FILES' crop-0 masks, not pseudo-masks —
+    # verify one sample against its file through the same path convention
+    paths = loaders["train"].paths[:1]
+    mask_file = np.load(mask_path_for(paths[0], str(tree), str(tree)))
+    sample = loaders["train"].read_fn(paths[0])
+    np.testing.assert_array_equal(sample["mask"][..., 0], mask_file[0])
+    # structured GT is NOT an intensity threshold of the input (the
+    # distractor stripes are bright but unmasked; blob skirts are masked
+    # but dim): the pure intensity rule's Dice is far from solving the
+    # task (measured ~0.38 mean over the generator's distribution)
+    thresh = (sample["pair"][0] > 0.5).astype(np.float32)
+    gt = mask_file[0]
+    dice = 2 * (thresh * gt).sum() / (thresh.sum() + gt.sum() + 1e-5)
+    assert dice < 0.85
+
+    cfg = _cfg(tmp_path, d=3, n="luna", b=2)
+    trainer = FinetuneTrainer(cfg, dim=3)
+    stats = trainer.train_epoch(0, loaders["train"].epoch(0))
+    assert np.isfinite(stats["loss"])
+    assert 0.0 <= stats["metric"] <= 1.0
+
+
+def test_finetune_3d_mask_dir_missing_mask_is_loud(tmp_path):
+    """A crop without its mask file fails with a path-naming error, not a
+    silent pseudo-mask fallback."""
+    from pcrlv2_tpu.data.pipeline import (make_luna_mask_reader,
+                                          write_synthetic_luna_tree)
+
+    tree = tmp_path / "luna"
+    write_synthetic_luna_tree(str(tree), n_subsets=1, uids_per_subset=1,
+                              pairs_per_uid=1)  # no masks in this tree
+    read = make_luna_mask_reader(str(tree), str(tree))
+    gpath = str(tree / "subset0" / "1.2.0.0_global_0.npy")
+    with pytest.raises(FileNotFoundError, match="_mask_"):
+        read(gpath)
+
+
 # ---------------------------------------------------------------------------
 # epoch bookkeeping
 # ---------------------------------------------------------------------------
@@ -305,7 +363,10 @@ def test_finetune_evaluate_fixed_and_pure(tmp_path):
     before = jax.device_get(trainer.state.params["fc"]["kernel"])
     ev1 = trainer.evaluate(iter(batches))
     ev2 = trainer.evaluate(iter(batches))
-    assert set(ev1) == {"eval_loss", "eval_acc"}
+    # eval_auc appears whenever >=1 class has both positives and negatives
+    # in the evaluated set (random labels here make that near-certain)
+    assert {"eval_loss", "eval_acc"} <= set(ev1) <= {
+        "eval_loss", "eval_acc", "eval_auc"}
     assert ev1 == ev2
     assert np.isfinite(ev1["eval_loss"])
     after = jax.device_get(trainer.state.params["fc"]["kernel"])
@@ -314,6 +375,62 @@ def test_finetune_evaluate_fixed_and_pure(tmp_path):
     ev_capped = trainer.evaluate(iter(batches), max_batches=1)
     assert np.isfinite(ev_capped["eval_loss"])
     assert trainer.evaluate(iter([])) == {}
+
+
+def test_mean_roc_auc():
+    """Rank-based per-class ROC-AUC: exact on known cases, tie-averaged,
+    degenerate classes skipped, and equal to the O(n²) pairwise definition
+    on random data."""
+    from pcrlv2_tpu.train.finetune import mean_roc_auc
+
+    # perfect ranking → 1.0; inverted → 0.0; random-chance symmetric case
+    y = np.array([[0], [0], [1], [1]], np.float32)
+    assert mean_roc_auc(np.array([[0.1], [0.2], [0.8], [0.9]]), y) == 1.0
+    assert mean_roc_auc(np.array([[0.9], [0.8], [0.2], [0.1]]), y) == 0.0
+    # all scores tied → AUC exactly 0.5 (tie-averaged ranks)
+    assert mean_roc_auc(np.array([[0.5]] * 4), y) == 0.5
+    # degenerate class (all-negative) skipped, scoreable class still counted
+    s2 = np.array([[0.1, 0.3], [0.2, 0.1], [0.8, 0.2], [0.9, 0.4]])
+    y2 = np.array([[0, 0], [0, 0], [1, 0], [1, 0]], np.float32)
+    assert mean_roc_auc(s2, y2) == 1.0
+    # no scoreable class → NaN
+    assert np.isnan(mean_roc_auc(s2, np.zeros_like(y2)))
+    # random data: match the pairwise Mann-Whitney definition exactly
+    rng = np.random.RandomState(3)
+    scores = np.round(rng.rand(40, 5), 1)  # rounding forces ties
+    labels = (rng.rand(40, 5) > 0.7).astype(np.float32)
+    expect = []
+    for c in range(5):
+        pos = scores[labels[:, c] > 0.5, c]
+        neg = scores[labels[:, c] <= 0.5, c]
+        if len(pos) == 0 or len(neg) == 0:
+            continue
+        wins = (pos[:, None] > neg[None, :]).sum()
+        ties = (pos[:, None] == neg[None, :]).sum()
+        expect.append((wins + 0.5 * ties) / (len(pos) * len(neg)))
+    np.testing.assert_allclose(mean_roc_auc(scores, labels),
+                               np.mean(expect), rtol=1e-12)
+
+
+def test_finetune_evaluate_ragged_tail_weighted(tmp_path):
+    """drop_last=False eval: a ragged tail batch is consumed (not dropped)
+    and scalar metrics are batch-size-weighted — [4]+[2] batches give the
+    same result as one [6] batch; AUC is computed over the concatenated
+    set either way."""
+    cfg = _cfg(tmp_path, d=2, n="chest")
+    trainer = FinetuneTrainer(cfg, dim=2, n_class=3)
+    rng = np.random.RandomState(7)
+    imgs = rng.rand(6, 224, 224, 3).astype(np.float32)
+    labels = rng.randint(0, 2, (6, 3)).astype(np.float32)
+    whole = [{"image": imgs, "label": labels}]
+    split = [{"image": imgs[:4], "label": labels[:4]},
+             {"image": imgs[4:], "label": labels[4:]}]
+    ev_whole = trainer.evaluate(iter(whole))
+    ev_split = trainer.evaluate(iter(split))
+    assert set(ev_whole) == set(ev_split)
+    for k in ev_whole:
+        np.testing.assert_allclose(ev_split[k], ev_whole[k],
+                                    rtol=1e-5, atol=1e-6)
 
 
 # ---------------------------------------------------------------------------

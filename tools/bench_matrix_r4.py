@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 WARMUP = int(os.environ.get("BENCH_WARMUP", "3"))
 STEPS = int(os.environ.get("BENCH_STEPS", "20"))
-TRIALS = int(os.environ.get("BENCH_TRIALS", "3"))
+TRIALS = max(1, int(os.environ.get("BENCH_TRIALS", "3")))
 
 DEFAULT_CONFIGS = [
     # name, batch, remat, headconv
