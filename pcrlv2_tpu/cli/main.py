@@ -152,9 +152,10 @@ def build_parser() -> argparse.ArgumentParser:
                              "coordinator auto-detects on Cloud TPU. --b is "
                              "the GLOBAL batch; each process loads its "
                              "interleaved dataset slice and b/world samples "
-                             "(single-host environments can't exercise this "
-                             "path end-to-end — data plumbing is tested, "
-                             "state init on >1 hosts is not)")
+                             "(two-process gloo tests cover the fused step, "
+                             "the full Trainer epoch loop, single-writer "
+                             "checkpoints, and resume; >2 hosts untested "
+                             "in this environment)")
     return parser
 
 

@@ -316,7 +316,9 @@ class FinetuneTrainer:
             self.state = jax.device_put(self.state,
                                         replicated_sharding(mesh))
         os.makedirs(cfg.output, exist_ok=True)
-        self.logger = MetricLogger(os.path.join(cfg.output, "metrics.jsonl"))
+        from pcrlv2_tpu.utils.meters import metrics_path
+
+        self.logger = MetricLogger(metrics_path(cfg.output))
 
     def load_pretrained(self, path: str) -> None:
         if self.dim == 2:

@@ -26,7 +26,7 @@ from pcrlv2_tpu.core.rng import step_key
 from pcrlv2_tpu.train import checkpoint as ckpt_lib
 from pcrlv2_tpu.train.optimizer import cosine_lr, sgd
 from pcrlv2_tpu.train.step import TrainState, create_train_state, make_train_step
-from pcrlv2_tpu.utils.meters import AverageMeter, MetricLogger
+from pcrlv2_tpu.utils.meters import AverageMeter, MetricLogger, metrics_path
 
 
 @dataclass
@@ -130,7 +130,7 @@ class Trainer:
                     donate_argnums=(0, 1),
                 )
         os.makedirs(cfg.output, exist_ok=True)
-        self.logger = MetricLogger(os.path.join(cfg.output, "metrics.jsonl"))
+        self.logger = MetricLogger(metrics_path(cfg.output))
         self._global_step = 0
         self._eval_fn = None
 
@@ -230,6 +230,11 @@ class Trainer:
                     # host/device arrays straight in would crash)
                     views = mesh_lib.shard_batch(self.mesh,
                                                  jax.device_get(views))
+                elif ragged:
+                    # the aug jit committed these to one device; host
+                    # arrays let the tail-shape eval program co-locate
+                    # them with the mesh-sharded params
+                    views = jax.device_get(views)
             else:
                 views = self.raw_batch_to_views(batch, self.dim)
                 if self._shard_views is None and self.mesh is not None \
@@ -248,6 +253,12 @@ class Trainer:
     # -- checkpointing -----------------------------------------------------
 
     def save_reference_ckpt(self, epoch: int):
+        # single-writer: params are replicated, so every process would write
+        # an identical .pt — on a shared --output that is a same-path write
+        # race.  Process 0 writes; other ranks return None.  (Orbax saves
+        # stay collective — all processes must call save_orbax.)
+        if jax.process_index() != 0:
+            return None
         cfg = self.cfg
         os.makedirs(cfg.output, exist_ok=True)
         path = os.path.join(cfg.output, cfg.ckpt_name(epoch))

@@ -34,6 +34,25 @@ class AverageMeter:
         self.avg = self.sum / max(self.count, 1)
 
 
+def metrics_path(output_dir: str, name: str = "metrics.jsonl") -> str:
+    """Per-process metrics file under a (possibly shared) output dir.
+
+    Multi-host runs share ``--output`` on network storage; every process
+    appending to ONE ``metrics.jsonl`` interleaves lines from different
+    hosts into one stream.  Process 0 keeps the canonical name (all
+    tooling reads it); other ranks write ``metrics.rank{i}.jsonl``.
+    """
+    import os
+
+    import jax
+
+    r = jax.process_index()
+    if r:
+        base, ext = os.path.splitext(name)
+        name = f"{base}.rank{r}{ext}"
+    return os.path.join(output_dir, name)
+
+
 class MetricLogger:
     """Console + optional JSONL metrics stream."""
 

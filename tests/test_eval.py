@@ -37,6 +37,43 @@ def test_evaluate_runs_and_preserves_state(tmp_path):
         np.testing.assert_array_equal(a, np.asarray(b))
 
 
+def test_evaluate_ragged_tail_under_mesh(tmp_path):
+    """drop_last=False eval loaders can yield a tail batch that does not
+    divide the mesh's data axis; the pretask eval consumes it via the
+    unsharded-put fallback and weights per-batch means by batch size —
+    [4]+[2] equals one [6] batch."""
+    from pcrlv2_tpu.core.mesh import DATA_AXIS, create_mesh
+
+    if len(jax.devices()) < 4:
+        import pytest
+
+        pytest.skip("needs >=4 virtual devices")
+    mesh = create_mesh((DATA_AXIS,), shape=(4,), devices=jax.devices()[:4])
+    cfg = TrainConfig(b=4, output=str(tmp_path), seed=0)
+    model = PCRLv23d()
+    sample = jnp.zeros((4, 16, 16, 8, 1), jnp.float32)
+    trainer = Trainer(model, cfg, aug_fn=None, dim=3, sample_batch=sample,
+                      mesh=mesh)
+    rng = np.random.RandomState(2)
+    pair = rng.rand(6, 2, 16, 16, 8).astype(np.float32)
+    loc = rng.rand(6, 6, 8, 8, 8).astype(np.float32)
+    whole = [{"pair": pair, "locals": loc}]
+    split = [{"pair": pair[:4], "locals": loc[:4]},
+             {"pair": pair[4:], "locals": loc[4:]}]  # tail of 2: 2 % 4 != 0
+    s_whole = trainer.evaluate(iter(whole))
+    s_split = trainer.evaluate(iter(split))
+    # exact decomposition is impossible here: the cos/local terms sample a
+    # decoder level from a PER-BATCH-INDEX key, and the 4-term loss runs
+    # with train-mode BN batch statistics (batch-composition dependent,
+    # measured ~0.3% on the mg term).  The contract under test is that the
+    # ragged tail is CONSUMED (not crashed on, not dropped) and the
+    # size-weighted mean stays close on the restoration term.
+    np.testing.assert_allclose(s_split["mg_loss"], s_whole["mg_loss"],
+                               rtol=0.02)
+    for k in s_whole:
+        assert np.isfinite(s_split[k])
+
+
 def test_evaluate_deterministic(tmp_path):
     cfg = TrainConfig(b=2, output=str(tmp_path), seed=0)
     model = PCRLv23d()
