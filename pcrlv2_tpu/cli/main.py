@@ -462,7 +462,20 @@ class DataGenerator:
         print(f"finetune train images {len(names)} (ratio {args.ratio})")
         args, (names, labels) = _shard_for_process(args, names, labels)
         label_of = {n: np.asarray(l, np.float32) for n, l in zip(names, labels)}
-        base = partial(load_chest_sample, canvas=224)  # classifier input res
+        # decode-once cache, same semantics as the pretask path (the cache
+        # key carries the canvas, so a 224 finetune cache coexists with a
+        # native-res pretask cache in the same dir)
+        cache = getattr(args, "chest_cache", "auto")
+        if cache and cache != "off":
+            from pcrlv2_tpu.data.pipeline import CachedChestReader
+
+            if cache == "auto":
+                cache = os.path.join(args.output, "chest_cache")
+            base = CachedChestReader(cache, canvas=224)
+            print(f"==> chest decode cache: {cache} (canvas 224; "
+                  f"--chest_cache off to disable)")
+        else:
+            base = partial(load_chest_sample, canvas=224)  # classifier res
 
         def read(path):
             return {**base(path), "label": label_of[path]}
