@@ -8,7 +8,12 @@ cross-process collectives on the CPU backend, 2 processes × 2 virtual
 devices.  The reference has no multi-node story at all (single-process
 ``nn.DataParallel``, reference ``train_2d.py:75``).
 
-Usage: python tests/multihost_worker.py RANK PORT OUT_NPZ
+Usage: python tests/multihost_worker.py RANK PORT OUT_NPZ [WORLD]
+
+``WORLD`` (default 2) generalizes the test to N localhost "hosts" × 2
+virtual devices each — the 3-process case pins that nothing in the stack
+is secretly pairwise (collective reductions, process slicing, global-array
+assembly all generalize).
 """
 
 import os
@@ -28,7 +33,7 @@ def global_views(batch: int = 4):
     }
 
 
-def run_step_single_process():
+def run_step_single_process(world: int = 2):
     """The single-process reference result (called from the pytest process)."""
     import jax
     import jax.numpy as jnp
@@ -38,14 +43,15 @@ def run_step_single_process():
     from pcrlv2_tpu.train.optimizer import sgd
     from pcrlv2_tpu.train.step import create_train_state, make_train_step
 
+    batch = 2 * world
     # f32 parity policy: bf16 compute rounds differently under different
     # shardings, which is exactly the noise this equivalence test excludes
     model = PCRLv23d(policy=PARITY_POLICY)
     tx = sgd()
-    sample = jnp.zeros((4, 16, 16, 8, 1), jnp.float32)
+    sample = jnp.zeros((batch, 16, 16, 8, 1), jnp.float32)
     state = create_train_state(model, tx, jax.random.key(0), sample)
     step = jax.jit(make_train_step(model, tx, dim=3), donate_argnums=(0,))
-    new_state, metrics = step(state, global_views(), jax.random.key(1),
+    new_state, metrics = step(state, global_views(batch), jax.random.key(1),
                               jnp.float32(1e-3), jnp.int32(0))
     return (float(jax.device_get(metrics["loss"])),
             [jax.device_get(l) for l in jax.tree.leaves(new_state.params)])
@@ -53,6 +59,7 @@ def run_step_single_process():
 
 def main() -> None:
     rank, port, out = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    world = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + " --xla_force_host_platform_device_count=2")
     import jax
@@ -65,8 +72,8 @@ def main() -> None:
                                       replicated_sharding, shard_batch)
 
     init_distributed(coordinator_address=f"localhost:{port}",
-                     num_processes=2, process_id=rank)
-    assert jax.process_count() == 2 and jax.device_count() == 4
+                     num_processes=world, process_id=rank)
+    assert jax.process_count() == world and jax.device_count() == 2 * world
 
     import numpy as np
     import jax.numpy as jnp
@@ -75,19 +82,19 @@ def main() -> None:
     from pcrlv2_tpu.train.optimizer import sgd
     from pcrlv2_tpu.train.step import create_train_state, make_train_step
 
-    mesh = create_mesh((DATA_AXIS,))  # all 4 global devices
+    mesh = create_mesh((DATA_AXIS,))  # all global devices
     from pcrlv2_tpu.core.precision import PARITY_POLICY as _PP
 
     model = PCRLv23d(policy=_PP)
     tx = sgd()
-    sample = jnp.zeros((4, 16, 16, 8, 1), jnp.float32)
+    sample = jnp.zeros((2 * world, 16, 16, 8, 1), jnp.float32)
     # each process initializes from the same key → identical replicated state
     state = create_train_state(model, tx, jax.random.key(0), sample)
     state = jax.device_put(state, replicated_sharding(mesh))
 
-    # each process feeds its CONTIGUOUS local half; shard_batch assembles the
-    # global batch (P('data') over [proc0: rows 0-1, proc1: rows 2-3])
-    views = global_views()
+    # each process feeds its CONTIGUOUS local slice; shard_batch assembles
+    # the global batch (P('data') over [proc r: rows 2r..2r+1])
+    views = global_views(2 * world)
     local = {k: v[rank * 2:(rank + 1) * 2] for k, v in views.items()}
     batch = shard_batch(mesh, local)
 

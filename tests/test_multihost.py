@@ -25,7 +25,10 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_step_matches_single_process(tmp_path):
+def _run_step_world(tmp_path, world: int):
+    """N gloo processes × 2 virtual devices run the fused step on a global
+    batch of 2N; rank 0 saves loss + params for comparison against the
+    single-process reference."""
     port = _free_port()
     out = tmp_path / "rank0.npz"
     env = {k: v for k, v in os.environ.items()
@@ -33,9 +36,9 @@ def test_two_process_step_matches_single_process(tmp_path):
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     worker = os.path.join(TESTS_DIR, "multihost_worker.py")
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(r), str(port), str(out)],
+        [sys.executable, worker, str(r), str(port), str(out), str(world)],
         env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-        for r in (0, 1)]
+        for r in range(world)]
     outs = []
     for p in procs:
         try:
@@ -51,8 +54,8 @@ def test_two_process_step_matches_single_process(tmp_path):
 
     from tests.multihost_worker import run_step_single_process
 
-    ref_loss, ref_leaves = run_step_single_process()
-    # f32 everywhere; the 4-way psum reorders accumulation → ~2e-5 rel
+    ref_loss, ref_leaves = run_step_single_process(world)
+    # f32 everywhere; the 2N-way psum reorders accumulation → ~2e-5 rel
     np.testing.assert_allclose(float(got["loss"]), ref_loss,
                                rtol=1e-4, atol=1e-6)
     assert len(ref_leaves) == len([k for k in got.files if k != "loss"])
@@ -60,7 +63,7 @@ def test_two_process_step_matches_single_process(tmp_path):
         ref = np.asarray(ref)
         # Both runs start from identical init (same PRNG key), so leaves
         # differ only by lr·(grad difference).  Grads are cancellation-
-        # dominated sums over ~8k voxel positions, where the 4-way psum's
+        # dominated sums over ~8k voxel positions, where the N-way psum's
         # different accumulation order leaves ABSOLUTE noise on the grad
         # (measured ≲6e-2, i.e. ≲6e-5 on the weight after lr=1e-3) — hence
         # a flat atol at that scale rather than a relative bound.  A
@@ -68,8 +71,19 @@ def test_two_process_step_matches_single_process(tmp_path):
         # lr·grad scale ~1e-3, an order of magnitude above this tolerance.
         np.testing.assert_allclose(
             got[f"leaf{i}"], ref, rtol=1e-4, atol=2e-4,
-            err_msg=f"param leaf {i} diverges between 2-process and "
+            err_msg=f"param leaf {i} diverges between {world}-process and "
                     f"single-process runs")
+
+
+def test_two_process_step_matches_single_process(tmp_path):
+    _run_step_world(tmp_path, 2)
+
+
+def test_three_process_step_matches_single_process(tmp_path):
+    """Three hosts: pins that nothing in the multihost stack is secretly
+    pairwise — process slicing, global-array assembly, and the gradient
+    reduction all generalize beyond world=2 (round-4 weak spot)."""
+    _run_step_world(tmp_path, 3)
 
 
 def test_two_process_trainer_epoch_checkpoint_resume(tmp_path):
