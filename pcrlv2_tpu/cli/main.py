@@ -152,10 +152,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "coordinator auto-detects on Cloud TPU. --b is "
                              "the GLOBAL batch; each process loads its "
                              "interleaved dataset slice and b/world samples "
-                             "(two-process gloo tests cover the fused step, "
-                             "the full Trainer epoch loop, single-writer "
-                             "checkpoints, and resume; >2 hosts untested "
-                             "in this environment)")
+                             "(2- and 3-process gloo tests cover the fused "
+                             "step, the full Trainer epoch loop, "
+                             "single-writer checkpoints, and resume; more "
+                             "processes / real DCN untested in this "
+                             "environment)")
     return parser
 
 

@@ -7,7 +7,10 @@ This closes the round-4 gap: the two-process test covered global-batch
 assembly + one fused step, but not the Trainer epoch loop, checkpoint
 single-writer behavior, or resume under ``--multihost``.
 
-Usage: python tests/multihost_trainer_worker.py RANK PORT SHARED_OUT
+Usage: python tests/multihost_trainer_worker.py RANK PORT SHARED_OUT [WORLD]
+
+``WORLD`` (default 2) runs the same loop over N localhost "hosts" — with
+3+ the single-writer property is tested with MULTIPLE refusing ranks.
 """
 
 import os
@@ -16,6 +19,7 @@ import sys
 
 def main() -> None:
     rank, port, out_dir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    world = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + " --xla_force_host_platform_device_count=2")
     import jax
@@ -27,8 +31,8 @@ def main() -> None:
     from pcrlv2_tpu.core.mesh import DATA_AXIS, create_mesh, init_distributed
 
     init_distributed(coordinator_address=f"localhost:{port}",
-                     num_processes=2, process_id=rank)
-    assert jax.process_count() == 2 and jax.device_count() == 4
+                     num_processes=world, process_id=rank)
+    assert jax.process_count() == world and jax.device_count() == 2 * world
 
     import numpy as np
     import jax.numpy as jnp
@@ -39,9 +43,11 @@ def main() -> None:
 
     mesh = create_mesh((DATA_AXIS,))  # all 4 global devices
 
+    gb = 2 * world  # global batch: 2 samples per "host"
+
     class LocalLoader:
-        """Each process feeds its CONTIGUOUS local half of a deterministic
-        global batch (b=4 → 2 per process), 2 steps per epoch."""
+        """Each process feeds its CONTIGUOUS local slice of a deterministic
+        global batch (2 per process), 2 steps per epoch."""
 
         def __init__(self, rank: int, n_batches: int = 2):
             self.rank = rank
@@ -51,19 +57,19 @@ def main() -> None:
             for b in range(self.n_batches):
                 rng = np.random.RandomState(1000 * epoch + b)
                 views = {
-                    "x1": rng.rand(4, 16, 16, 8, 1).astype(np.float32),
-                    "x2": rng.rand(4, 16, 16, 8, 1).astype(np.float32),
-                    "gt": rng.rand(4, 16, 16, 8, 1).astype(np.float32),
-                    "locals": rng.rand(4, 2, 8, 8, 8, 1).astype(np.float32),
+                    "x1": rng.rand(gb, 16, 16, 8, 1).astype(np.float32),
+                    "x2": rng.rand(gb, 16, 16, 8, 1).astype(np.float32),
+                    "gt": rng.rand(gb, 16, 16, 8, 1).astype(np.float32),
+                    "locals": rng.rand(gb, 2, 8, 8, 8, 1).astype(np.float32),
                 }
                 yield {k: v[self.rank * 2:(self.rank + 1) * 2]
                        for k, v in views.items()}
 
-    cfg = TrainConfig(d=3, b=4, epochs=240, lr=1e-3, seed=0, amp=False,
+    cfg = TrainConfig(d=3, b=gb, epochs=240, lr=1e-3, seed=0, amp=False,
                       output=out_dir, orbax_dir=os.path.join(out_dir, "orbax"),
                       save_every=1, log_every=1)
     model = PCRLv23d(policy=PARITY_POLICY)
-    sample = jnp.zeros((4, 16, 16, 8, 1), jnp.float32)
+    sample = jnp.zeros((gb, 16, 16, 8, 1), jnp.float32)
 
     trainer = run_training(model, cfg, LocalLoader(rank), None, dim=3,
                            sample_batch=sample, mesh=mesh, epochs=1)
@@ -83,9 +89,9 @@ def main() -> None:
                                                cfg.ckpt_name(probe_epoch)))
 
     # per-process metrics streams: canonical file for rank 0, rank-suffixed
-    # for rank 1 (no interleaved writes into one shared file)
+    # for the others (no interleaved writes into one shared file)
     me = os.path.join(out_dir, "metrics.jsonl" if rank == 0
-                      else "metrics.rank1.jsonl")
+                      else f"metrics.rank{rank}.jsonl")
     assert os.path.exists(me), f"metrics stream missing: {me}"
 
     # --- resume across both processes ------------------------------------
@@ -94,7 +100,7 @@ def main() -> None:
     # trainer exactly (this is the --resume path of run_training).
     from pcrlv2_tpu.train.trainer import Trainer
 
-    cfg2 = TrainConfig(d=3, b=4, epochs=240, lr=1e-3, seed=0, amp=False,
+    cfg2 = TrainConfig(d=3, b=gb, epochs=240, lr=1e-3, seed=0, amp=False,
                        output=os.path.join(out_dir, f"resume{rank}"),
                        orbax_dir=cfg.orbax_dir, log_every=1)
     t2 = Trainer(model, cfg2, None, dim=3, sample_batch=sample, mesh=mesh)

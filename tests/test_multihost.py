@@ -86,11 +86,11 @@ def test_three_process_step_matches_single_process(tmp_path):
     _run_step_world(tmp_path, 3)
 
 
-def test_two_process_trainer_epoch_checkpoint_resume(tmp_path):
-    """The FULL Trainer loop under two gloo processes: run_training drives
+def _run_trainer_world(tmp_path, world: int):
+    """The FULL Trainer loop under N gloo processes: run_training drives
     prefetch + fused steps + the checkpoint cadence on a shared output dir;
     .pt writes are process-0-only; metrics streams are per-process; a fresh
-    Trainer resumes the orbax state identically on both ranks and keeps
+    Trainer resumes the orbax state identically on every rank and keeps
     training.  (Round-4 gap: only a single bare step was multihost-tested.)
     """
     port = _free_port()
@@ -101,9 +101,9 @@ def test_two_process_trainer_epoch_checkpoint_resume(tmp_path):
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     worker = os.path.join(TESTS_DIR, "multihost_trainer_worker.py")
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(r), str(port), str(shared)],
+        [sys.executable, worker, str(r), str(port), str(shared), str(world)],
         env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-        for r in (0, 1)]
+        for r in range(world)]
     outs = []
     for p in procs:
         try:
@@ -116,9 +116,19 @@ def test_two_process_trainer_epoch_checkpoint_resume(tmp_path):
     for r, (p, text) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {r} failed:\n{text[-4000:]}"
         assert "trainer-loop multihost OK" in text
-    # rank-0 probe checkpoint written, rank-1 probe refused
+    # rank-0 probe checkpoint written, every other rank's probe refused
     assert any(f.endswith("_98.pt") for f in os.listdir(shared))
     assert not any(f.endswith("_99.pt") for f in os.listdir(shared))
+
+
+def test_two_process_trainer_epoch_checkpoint_resume(tmp_path):
+    _run_trainer_world(tmp_path, 2)
+
+
+def test_three_process_trainer_epoch_checkpoint_resume(tmp_path):
+    """Three hosts: the single-writer property with MULTIPLE refusing
+    ranks, and orbax save/restore coordinating across world > 2."""
+    _run_trainer_world(tmp_path, 3)
 
 
 def test_process_slice_trims_to_common_length(monkeypatch):
