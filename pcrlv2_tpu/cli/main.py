@@ -199,7 +199,11 @@ def _detect_chest_canvas(names, output_dir: str) -> int:
     minutes on networked storage.  The detected canvas is persisted as
     ``chest_canvas.<hash>.json`` in the run dir, keyed by a hash of the
     exact name list, so repeat launches (same output dir + same list) cost
-    one stat instead of a full rescan; a changed list changes the key.
+    one stat per file instead of a PIL header open; the sidecar also
+    stores a fingerprint over every file's (size, mtime) — regenerated
+    sources under the same names invalidate the cache instead of silently
+    reusing a stale canvas (the exact silent-downsampling failure the
+    exhaustive scan exists to prevent).
     """
     import hashlib
     import json
@@ -207,17 +211,31 @@ def _detect_chest_canvas(names, output_dir: str) -> int:
 
     tag = hashlib.blake2s("\n".join(names).encode(),
                           digest_size=8).hexdigest()
+
+    def file_fingerprint() -> str:
+        h = hashlib.blake2s(digest_size=8)
+        for name in names:
+            try:
+                st = os.stat(name)
+                h.update(f"{st.st_size}:{st.st_mtime_ns};".encode())
+            except OSError:
+                h.update(b"missing;")
+        return h.hexdigest()
+
+    fp = file_fingerprint()
     sidecar = os.path.join(output_dir, f"chest_canvas.{tag}.json")
     try:
         with open(sidecar) as f:
             cached = json.load(f)
+        if cached.get("fingerprint") != fp:
+            raise ValueError("stale sidecar: sources changed on disk")
         canvas = int(cached["canvas"])
         print(f"==> chest canvas {canvas} from cache {sidecar} "
-              f"({cached.get('n_sources', '?')} sources; delete the "
-              f"sidecar to force a rescan)")
+              f"({cached.get('n_sources', '?')} sources, fingerprint "
+              f"match; delete the sidecar to force a rescan)")
         return canvas
-    except (OSError, ValueError, KeyError):
-        pass
+    except (OSError, ValueError, KeyError, TypeError, AttributeError):
+        pass  # miss, corrupt, non-dict JSON, or stale — rescan
     from PIL import Image
 
     t0 = time.time()
@@ -239,12 +257,31 @@ def _detect_chest_canvas(names, output_dir: str) -> int:
         with open(tmp, "w") as f:
             json.dump({"canvas": canvas, "n_sources": len(names),
                        "scan_seconds": round(dt, 2),
+                       "fingerprint": fp,
                        "distinct_sizes": sorted(sizes)}, f)
         os.replace(tmp, sidecar)
     except OSError:
         if os.path.exists(tmp):
             os.unlink(tmp)
     return canvas
+
+
+def _chest_reader(args, canvas: int):
+    """Per-sample chest reader honoring ``--chest_cache`` (decode-once raw
+    uint8 cache; the cache key carries the canvas, so e.g. a 224 finetune
+    cache coexists with a native-res pretask cache in one dir)."""
+    from functools import partial
+
+    from pcrlv2_tpu.data.pipeline import CachedChestReader, load_chest_sample
+
+    cache = getattr(args, "chest_cache", "auto")
+    if cache and cache != "off":
+        if cache == "auto":
+            cache = os.path.join(args.output, "chest_cache")
+        print(f"==> chest decode cache: {cache} (canvas {canvas}; "
+              f"--chest_cache off to disable)")
+        return CachedChestReader(cache, canvas)
+    return partial(load_chest_sample, canvas=canvas)
 
 
 class DataGenerator:
@@ -363,17 +400,7 @@ class DataGenerator:
             # process) skips the scan entirely.
             canvas = _detect_chest_canvas(names, args.output)
         args, (names,) = _shard_for_process(args, names)
-        cache = getattr(args, "chest_cache", "auto")
-        if cache and cache != "off":
-            from pcrlv2_tpu.data.pipeline import CachedChestReader
-
-            if cache == "auto":
-                cache = os.path.join(args.output, "chest_cache")
-            read = CachedChestReader(cache, canvas)
-            print(f"==> chest decode cache: {cache} (canvas {canvas}; "
-                  f"--chest_cache off to disable)")
-        else:
-            read = partial(load_chest_sample, canvas=canvas)
+        read = _chest_reader(args, canvas)
         train = HostLoader(names, args.b, read,
                            shuffle=True, seed=args.seed,
                            num_workers=args.workers)
@@ -463,20 +490,7 @@ class DataGenerator:
         print(f"finetune train images {len(names)} (ratio {args.ratio})")
         args, (names, labels) = _shard_for_process(args, names, labels)
         label_of = {n: np.asarray(l, np.float32) for n, l in zip(names, labels)}
-        # decode-once cache, same semantics as the pretask path (the cache
-        # key carries the canvas, so a 224 finetune cache coexists with a
-        # native-res pretask cache in the same dir)
-        cache = getattr(args, "chest_cache", "auto")
-        if cache and cache != "off":
-            from pcrlv2_tpu.data.pipeline import CachedChestReader
-
-            if cache == "auto":
-                cache = os.path.join(args.output, "chest_cache")
-            base = CachedChestReader(cache, canvas=224)
-            print(f"==> chest decode cache: {cache} (canvas 224; "
-                  f"--chest_cache off to disable)")
-        else:
-            base = partial(load_chest_sample, canvas=224)  # classifier res
+        base = _chest_reader(args, canvas=224)  # classifier input res
 
         def read(path):
             return {**base(path), "label": label_of[path]}

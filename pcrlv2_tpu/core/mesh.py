@@ -69,6 +69,20 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def batch_not_shardable(local_bsz: int, data_size: int,
+                        world: int = 1) -> bool:
+    """True when a batch cannot be sharded over the ``data`` axis.
+
+    Divisibility is a GLOBAL-batch property: under multihost each process
+    holds ``local_bsz`` rows of a ``local_bsz * world`` global batch, so
+    the check must scale by the process count — dividing the LOCAL batch
+    by the global device count would flag every valid multihost batch as
+    ragged (e.g. 2 hosts × 2 devices, global b=4: local 2 % 4 != 0 even
+    though the global 4 % 4 == 0).
+    """
+    return data_size > 1 and (local_bsz * world) % data_size != 0
+
+
 def shard_batch(mesh: Mesh, batch):
     """Device-put a pytree of host arrays with the leading dim sharded on ``data``.
 

@@ -413,11 +413,15 @@ class FinetuneTrainer:
             if max_batches and i >= max_batches:
                 break
             bsz = int(jax.tree.leaves(batch)[0].shape[0])
-            ragged = data_size > 1 and bsz % data_size != 0
+            # GLOBAL-batch divisibility (local × world) — see
+            # core.mesh.batch_not_shardable
+            from pcrlv2_tpu.core.mesh import batch_not_shardable
+
+            ragged = batch_not_shardable(bsz, data_size, jax.process_count())
             if ragged and multihost:
                 print(f"WARNING: eval tail batch of {bsz} samples skipped "
-                      f"(not divisible by the data axis {data_size} under "
-                      f"multihost sharding)")
+                      f"(global batch not divisible by the data axis "
+                      f"{data_size} under multihost sharding)")
                 continue
             x, y = self._prep(batch, sharded=not ragged)
             collected.append((bsz, self._eval_step(
@@ -426,7 +430,17 @@ class FinetuneTrainer:
                 labels_all.append(np.asarray(batch["label"], np.float32))
         if not collected:
             return {}
-        vals = jax.device_get([m for _, m in collected])
+        vals_dev = [m for _, m in collected]
+        if multihost:
+            # the per-sample logits are sharded over the GLOBAL data axis;
+            # device_get on non-addressable shards would raise, and pairing
+            # global logits with process-local labels would mis-align —
+            # drop them and keep the scalar metrics (the CLI currently
+            # refuses multihost finetune anyway; this keeps the method
+            # safe if that changes)
+            vals_dev = [{k: v for k, v in m.items() if k != "logits"}
+                        for m in vals_dev]
+        vals = jax.device_get(vals_dev)
         weights = np.asarray([b for b, _ in collected], np.float64)
         out = {f"eval_{k}": float(np.average([v[k] for v in vals],
                                              weights=weights))

@@ -211,9 +211,11 @@ class Trainer:
             # every sample; a ragged tail batch may not divide the mesh's
             # data axis — single-host falls back to an unsharded put (one
             # extra compile for the tail shape), multihost/spatial skips it
-            # loudly (global-array assembly needs divisibility)
+            # loudly (global-array assembly needs divisibility).  NB the
+            # divisibility check is on the GLOBAL batch (local × world).
             bsz_raw = int(jax.tree.leaves(batch)[0].shape[0])
-            ragged = data_size > 1 and bsz_raw % data_size != 0
+            ragged = mesh_lib.batch_not_shardable(
+                bsz_raw, data_size, jax.process_count())
             if ragged and (multihost or self._shard_views is not None):
                 print(f"WARNING: eval tail batch of {bsz_raw} samples "
                       f"skipped (not divisible by the data axis "

@@ -313,17 +313,34 @@ def test_chest_canvas_sidecar_cache(tmp_path):
     assert next(loaders["train"].epoch(0))["image"].shape == (2, 64, 64, 1)
     sidecars = glob.glob(str(out / "chest_canvas.*.json"))
     assert len(sidecars) == 1
-    assert json.load(open(sidecars[0]))["canvas"] == 64
-    # poison the sidecar; a rebuild must use the cached (edited) value
-    json.dump({"canvas": 48, "n_sources": 3}, open(sidecars[0], "w"))
+    cached = json.load(open(sidecars[0]))
+    assert cached["canvas"] == 64
+    # edit the cached value (fingerprint intact); a rebuild must USE it —
+    # only a cache read could produce a 48 canvas
+    json.dump({**cached, "canvas": 48}, open(sidecars[0], "w"))
     args = build_parser().parse_args(argv)
     loaders = DataGenerator(args).build("pcrlv2_chest_pretask")
     assert next(loaders["train"].epoch(0))["image"].shape == (2, 48, 48, 1)
+    # regenerated sources under the SAME names invalidate the cache
+    # (fingerprint covers size+mtime): the stale 48 must NOT survive
+    from PIL import Image as _Image
+
+    rng2 = np.random.RandomState(9)
+    _Image.fromarray(rng2.randint(0, 255, (96, 96), np.uint8), "L").save(
+        img_dir / "x0.png")
+    args = build_parser().parse_args(argv)
+    loaders = DataGenerator(args).build("pcrlv2_chest_pretask")
+    assert next(loaders["train"].epoch(0))["image"].shape == (2, 96, 96, 1)
+    # a corrupt / non-dict sidecar degrades to a rescan, not a crash
+    open(sidecars[0], "w").write("42")
+    args = build_parser().parse_args(argv)
+    loaders = DataGenerator(args).build("pcrlv2_chest_pretask")
+    assert next(loaders["train"].epoch(0))["image"].shape == (2, 96, 96, 1)
     # a DIFFERENT list keys a different sidecar → fresh scan
     lst.write_text("".join(f"x{i}.png" + " 0" * 14 + "\n" for i in range(2)))
     args = build_parser().parse_args(argv)
     loaders = DataGenerator(args).build("pcrlv2_chest_pretask")
-    assert next(loaders["train"].epoch(0))["image"].shape == (2, 64, 64, 1)
+    assert next(loaders["train"].epoch(0))["image"].shape == (2, 96, 96, 1)
     assert len(glob.glob(str(out / "chest_canvas.*.json"))) == 2
 
 

@@ -130,6 +130,12 @@ def main():
     pre_rows = read_evals(os.path.join(ft_pre, "metrics.jsonl"))
     scr_rows = read_evals(os.path.join(ft_scr, "metrics.jsonl"))
     epochs = sorted(set(pre_rows) & set(scr_rows))
+    if not epochs:
+        raise SystemExit(
+            f"no common eval epochs between the two arms "
+            f"(pretrained: {sorted(pre_rows)}, scratch: {sorted(scr_rows)}) "
+            f"— check {ft_pre}/metrics.jsonl and {ft_scr}/metrics.jsonl "
+            "for eval_dice rows")
     lines = ["| epoch | pretrained Dice | scratch Dice | Δ |",
              "|---|---|---|---|"]
     for e in epochs:

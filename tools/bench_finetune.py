@@ -35,9 +35,11 @@ def bench_loop(jax, step_fn, state, args_fn, bsz):
     def sync(x):
         return jax.device_get(jax.tree.leaves(x)[0].ravel()[0:1])
 
+    metrics = None
     for i in range(WARMUP):
         state, metrics = step_fn(state, *args_fn(i))
-    sync(metrics)
+    if metrics is not None:  # BENCH_WARMUP=0: first trial pays the compile
+        sync(metrics)
     sync(state.params)
     trials = []
     for t in range(TRIALS):
